@@ -1,0 +1,171 @@
+"""Connected components — both north-rule strategies (SURVEY.md §2.1.2).
+
+Pinned spec: undirected graph; output label = minimum vid in the component
+(canonical, order-independent), making "exact component equality" vs the
+reference (networkit.components.ConnectedComponents, BASELINE.json:6 —
+operationalized by canonicalized networkx.connected_components, SURVEY.md §0)
+well defined.
+
+- ``mode="hashmin"``: O(diameter) rounds; each round is one pre-combined
+  groupby(vid).min(label) shuffle of neighbor labels.  Fully streaming —
+  nothing ever leaves the cluster but two scalars per round.
+- ``mode="unionfind"``: the filtering/contraction CC — every edge block runs
+  a local in-memory union-find and emits only its spanning-forest
+  equivalence pairs (≤ distinct vids in the block); rounds of local
+  contraction shrink the pair set geometrically; the final (small)
+  contracted equivalence set is solved by one union-find reducer.  1.5
+  shuffles typical vs O(diameter).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Min
+
+from networkit_ray.stages.graphops import (
+    canonicalize_undirected,
+    symmetrize,
+    vertices_from_edges,
+)
+from networkit_ray.state.unionfind import UnionFind
+
+
+def connected_components(
+    edges_ds,
+    vertices_ds=None,
+    mode: str = "unionfind",
+    num_partitions: int = 8,
+    max_iter: int = 200,
+    driver_pair_limit: int = 2_000_000,
+):
+    """edges(src,dst,w) [+ vertices(vid)] -> (Dataset(vid, label), rounds)."""
+    canon = canonicalize_undirected(edges_ds, weight="one")
+    if vertices_ds is None:
+        vertices_ds = vertices_from_edges(edges_ds)
+    vertices_ds = vertices_ds.select_columns(["vid"])
+    if mode == "hashmin":
+        return _cc_hashmin(canon, vertices_ds, num_partitions, max_iter)
+    return _cc_unionfind(canon, vertices_ds, num_partitions, driver_pair_limit)
+
+
+def _cc_hashmin(canon, vertices_ds, num_partitions, max_iter):
+    sym = symmetrize(canon).select_columns(["src", "dst"]).materialize()
+
+    labels = vertices_ds.map_batches(
+        lambda t: pa.table({"vid": t["vid"], "label": t["vid"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    def _msg(t: pa.Table) -> pa.Table:
+        out = pa.table({"vid": t["dst"], "m": t["label"]})
+        return out.group_by("vid").aggregate([("m", "min")]).rename_columns(
+            ["vid", "m"]
+        )
+
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
+        msgs = (
+            sym.join(
+                labels,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("src",),
+                right_on=("vid",),
+            )
+            .map_batches(_msg, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("vid", num_partitions=num_partitions)
+            .aggregate(Min("m", alias_name="m"))
+        )
+        joined = labels.join(
+            msgs, join_type="left_outer", num_partitions=num_partitions, on=("vid",)
+        )
+        new_labels = joined.map_batches(
+            lambda t: pa.table(
+                {
+                    "vid": t["vid"],
+                    "label": pc.min_element_wise(
+                        t["label"], pc.fill_null(t["m"], np.iinfo(np.int64).max)
+                    ),
+                    "chg": pc.cast(
+                        pc.less(
+                            pc.min_element_wise(
+                                t["label"],
+                                pc.fill_null(t["m"], np.iinfo(np.int64).max),
+                            ),
+                            t["label"],
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+        changed = new_labels.sum("chg") or 0
+        labels = new_labels.select_columns(["vid", "label"]).materialize()
+        if changed == 0:
+            break
+    return labels, rounds
+
+
+def _local_forest(t: pa.Table) -> pa.Table:
+    """One edge block -> (src, dst) equivalence pairs vid -> local min root."""
+    uf = UnionFind()
+    uf.union_arrays(
+        t["src"].to_numpy(zero_copy_only=False), t["dst"].to_numpy(zero_copy_only=False)
+    )
+    vids, roots = uf.roots()
+    keep = vids != roots  # self pairs carry no information
+    return pa.table({"src": vids[keep], "dst": roots[keep]})
+
+
+def _cc_unionfind(canon, vertices_ds, num_partitions, driver_pair_limit):
+    pairs = canon.select_columns(["src", "dst"]).map_batches(
+        _local_forest, batch_format="pyarrow", zero_copy_batch=True
+    )
+    rounds = 1
+    count = pairs.count()
+    # contraction rounds: co-locate pairs by src-hash, re-run local UF
+    while count > driver_pair_limit and rounds < 6:
+        pairs = pairs.repartition(num_partitions, shuffle=True).map_batches(
+            _local_forest, batch_format="pyarrow", zero_copy_batch=True
+        )
+        rounds += 1
+        count = pairs.count()
+    if count > driver_pair_limit:
+        raise RuntimeError(
+            f"union-find contraction did not converge below {driver_pair_limit} "
+            f"pairs (still {count}); use mode='hashmin'"
+        )
+
+    # final reducer: one union-find over the contracted equivalence set
+    uf = UnionFind()
+    for batch in pairs.iter_batches(batch_format="pyarrow", batch_size=None):
+        uf.union_arrays(
+            batch["src"].to_numpy(zero_copy_only=False),
+            batch["dst"].to_numpy(zero_copy_only=False),
+        )
+    vids, roots = uf.roots()
+    import ray.data
+
+    root_tbl = pa.table({"vid": vids, "label": roots})
+    root_ds = ray.data.from_arrow(root_tbl)
+
+    # vertices not touched by any edge are their own component
+    labels = (
+        vertices_ds.join(
+            root_ds, join_type="left_outer", num_partitions=num_partitions, on=("vid",)
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {"vid": t["vid"], "label": pc.coalesce(t["label"], t["vid"])}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    return labels, rounds

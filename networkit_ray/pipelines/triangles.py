@@ -1,0 +1,136 @@
+"""Per-vertex triangle counts (pinned spec: SURVEY.md §2.1.4).
+
+Canonical MapReduce triangle enumeration, degree-oriented to kill hub skew:
+orient every canonical undirected edge from the endpoint with smaller
+(degree, vid) to the larger — oriented out-degree is O(sqrt m) — then
+
+    wedges  = oriented ⋈ oriented on src          (pivot, a, b) with a ≺ b
+    closed  = wedges ⋈ oriented on (a, b)
+    tri(v)  = Σ corners                            groupby(vid).sum
+
+Matches the reference's exact per-node triangle machinery
+(LocalClusteringCoefficient / TriangleEdgeScore family, BASELINE.json:6 —
+operationalized by networkx.triangles, SURVEY.md §0).  Self-loops and
+multi-edges are removed by canonicalization first (SURVEY.md §7.3.6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Sum
+
+from networkit_ray.stages.graphops import (
+    canonicalize_undirected,
+    symmetrize,
+    out_degrees,
+    vertices_from_edges,
+)
+
+
+def triangle_counts(edges_ds, vertices_ds=None, num_partitions: int = 8):
+    """edges(src,dst,w) [+ vertices(vid)] -> Dataset(vid, triangles)."""
+    canon = canonicalize_undirected(edges_ds, weight="one")
+    if vertices_ds is None:
+        vertices_ds = vertices_from_edges(edges_ds)
+
+    sym = symmetrize(canon)
+    deg = out_degrees(sym, weighted=False).select_columns(["vid", "out_deg"])
+
+    e = (
+        canon.select_columns(["src", "dst"])
+        .join(
+            deg,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("vid",),
+        )
+        .rename_columns({"out_deg": "deg_src"})
+        .join(
+            deg,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("dst",),
+            right_on=("vid",),
+        )
+        .rename_columns({"out_deg": "deg_dst"})
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        dst = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        dsrc = t["deg_src"].combine_chunks().to_numpy(zero_copy_only=False)
+        ddst = t["deg_dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        fwd = (dsrc < ddst) | ((dsrc == ddst) & (src < dst))
+        lo = np.where(fwd, src, dst)
+        hi = np.where(fwd, dst, src)
+        dhi = np.where(fwd, ddst, dsrc)
+        return pa.table({"src": lo, "dst": hi, "ddst": dhi})
+
+    oriented = e.map_batches(
+        orient, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    wedges = oriented.join(
+        oriented,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("src",),
+        left_suffix="_l",
+        right_suffix="_r",
+    )
+
+    def mk_wedges(t: pa.Table) -> pa.Table:
+        a = t["dst_l"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["dst_r"].combine_chunks().to_numpy(zero_copy_only=False)
+        da = t["ddst_l"].combine_chunks().to_numpy(zero_copy_only=False)
+        db = t["ddst_r"].combine_chunks().to_numpy(zero_copy_only=False)
+        piv = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        # keep each unordered wedge once, endpoints ordered by (deg, vid) so
+        # the closing edge (if any) appears exactly as (a -> b) in `oriented`
+        keep = (da < db) | ((da == db) & (a < b))
+        return pa.table({"pivot": piv[keep], "a": a[keep], "b": b[keep]})
+
+    wedges = wedges.map_batches(
+        mk_wedges, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    closed = wedges.join(
+        oriented.select_columns(["src", "dst"]),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("a", "b"),
+        right_on=("src", "dst"),
+    )
+
+    def corners(t: pa.Table) -> pa.Table:
+        piv = t["pivot"].combine_chunks().to_numpy(zero_copy_only=False)
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        vids = np.concatenate([piv, a, b])
+        u, c = np.unique(vids, return_counts=True)  # pre-combine per batch
+        return pa.table({"vid": u, "t": c.astype(np.int64)})
+
+    counts = (
+        closed.map_batches(corners, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("vid", num_partitions=num_partitions)
+        .aggregate(Sum("t", alias_name="t"))
+    )
+
+    return (
+        vertices_ds.select_columns(["vid"])
+        .join(counts, join_type="left_outer", num_partitions=num_partitions, on=("vid",))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "vid": t["vid"],
+                    "triangles": pc.fill_null(pc.cast(t["t"], pa.int64()), 0),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )

@@ -1,0 +1,139 @@
+"""Edge-table graph operations — the building blocks every pipeline shares.
+
+All stages are vectorized pyarrow/numpy map_batches over the canonical edge
+schema ``edges(src: int64, dst: int64, w: float64)``.  Shuffling operations
+(dedup, degrees, distinct vertices) pre-aggregate inside map_batches before
+the groupby so the all-to-all exchange moves pre-combined rows, not raw
+edges (SURVEY.md §4.2: partial/final aggregation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Max, Min, Sum
+
+EDGE_NAMES = ["src", "dst", "w"]
+
+
+def _edges_table(src, dst, w) -> pa.Table:
+    return pa.Table.from_arrays(
+        [
+            pc.cast(src, pa.int64()),
+            pc.cast(dst, pa.int64()),
+            pc.cast(w, pa.float64()),
+        ],
+        names=EDGE_NAMES,
+    )
+
+
+def drop_self_loops(edges_ds):
+    return edges_ds.map_batches(
+        lambda t: t.filter(pc.not_equal(t["src"], t["dst"])),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def canonicalize_undirected(edges_ds, drop_loops: bool = True, weight: str = "sum"):
+    """Directed/multi edge table -> canonical undirected simple edges.
+
+    Each edge is swapped to (min, max); self-loops optionally dropped; then
+    exact dedup with weight aggregation ``sum`` | ``max`` | ``one``.
+    One shuffle on (src, dst), preceded by a per-batch local combine.
+    """
+
+    def canon(t: pa.Table) -> pa.Table:
+        lo = pc.min_element_wise(t["src"], t["dst"])
+        hi = pc.max_element_wise(t["src"], t["dst"])
+        out = _edges_table(lo, hi, t["w"])
+        if drop_loops:
+            out = out.filter(pc.not_equal(out["src"], out["dst"]))
+        # local pre-combine: collapse in-batch duplicates before the shuffle
+        return out.group_by(["src", "dst"]).aggregate(
+            [("w", "sum" if weight == "sum" else "max")]
+        ).rename_columns(EDGE_NAMES)
+
+    ds = edges_ds.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+    agg = Sum("w", alias_name="w") if weight == "sum" else Max("w", alias_name="w")
+    ds = ds.groupby(["src", "dst"]).aggregate(agg)
+    if weight == "one":
+        ds = ds.map_batches(
+            lambda t: _edges_table(
+                t["src"], t["dst"], np.ones(t.num_rows, dtype=np.float64)
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    return ds
+
+
+def dedup_edges(edges_ds, weight: str = "sum"):
+    """Exact (src, dst) dedup of a *directed* edge table; weight sum/max/one."""
+
+    def pre(t: pa.Table) -> pa.Table:
+        return (
+            t.select(EDGE_NAMES)
+            .group_by(["src", "dst"])
+            .aggregate([("w", "sum" if weight == "sum" else "max")])
+            .rename_columns(EDGE_NAMES)
+        )
+
+    ds = edges_ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    agg = Sum("w", alias_name="w") if weight == "sum" else Max("w", alias_name="w")
+    ds = ds.groupby(["src", "dst"]).aggregate(agg)
+    if weight == "one":
+        ds = ds.map_batches(
+            lambda t: _edges_table(
+                t["src"], t["dst"], np.ones(t.num_rows, dtype=np.float64)
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    return ds
+
+
+def symmetrize(edges_ds):
+    """Canonical (src<dst) edges -> both directions, in one map pass."""
+
+    def both(t: pa.Table) -> pa.Table:
+        fwd = t.select(EDGE_NAMES)
+        rev = _edges_table(t["dst"], t["src"], t["w"])
+        return pa.concat_tables([fwd, rev])
+
+    return edges_ds.map_batches(both, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def out_degrees(edges_ds, weighted: bool = True):
+    """(vid, out_deg, w_out_deg) per distinct src. Pre-combined shuffle."""
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = t.group_by("src").aggregate([("dst", "count"), ("w", "sum")])
+        return g.rename_columns(["vid", "cnt", "wsum"])
+
+    ds = edges_ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        ds.groupby("vid")
+        .aggregate(
+            Sum("cnt", alias_name="out_deg"), Sum("wsum", alias_name="w_out_deg")
+        )
+    )
+
+
+def vertices_from_edges(edges_ds):
+    """Distinct vids appearing as src or dst -> Dataset(vid). One shuffle."""
+
+    def pre(t: pa.Table) -> pa.Table:
+        vids = pa.concat_arrays(
+            [
+                t["src"].combine_chunks().cast(pa.int64()),
+                t["dst"].combine_chunks().cast(pa.int64()),
+            ]
+        )
+        u = pc.unique(vids)
+        return pa.Table.from_arrays([u], names=["vid"])
+
+    ds = edges_ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("vid").count().select_columns(["vid"])
