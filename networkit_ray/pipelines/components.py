@@ -40,12 +40,25 @@ def connected_components(
     num_partitions: int = 8,
     max_iter: int = 200,
     driver_pair_limit: int = 2_000_000,
+    engine: str = "dataset",
 ):
-    """edges(src,dst,w) [+ vertices(vid)] -> (Dataset(vid, label), rounds)."""
+    """edges(src,dst,w) [+ vertices(vid)] -> (Dataset(vid, label), rounds).
+
+    ``engine="actor"`` runs hash-min on the BSP CSR actor pool
+    (state/csr.py); ``mode`` selects the Dataset-engine strategy.
+    """
     canon = canonicalize_undirected(edges_ds, weight="one")
     if vertices_ds is None:
         vertices_ds = vertices_from_edges(edges_ds)
     vertices_ds = vertices_ds.select_columns(["vid"])
+    if engine == "actor":
+        from networkit_ray.state.csr import BSPGraph
+
+        g = BSPGraph(symmetrize(canon), vertices_ds, num_partitions)
+        try:
+            return g.cc_hashmin(max_iter=max_iter)
+        finally:
+            g.shutdown()
     if mode == "hashmin":
         return _cc_hashmin(canon, vertices_ds, num_partitions, max_iter)
     return _cc_unionfind(canon, vertices_ds, num_partitions, driver_pair_limit)

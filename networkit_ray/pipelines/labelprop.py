@@ -38,11 +38,25 @@ def label_propagation(
     max_iter: int = 100,
     fixed_iters: int | None = None,
     num_partitions: int = 8,
+    engine: str = "dataset",
 ):
-    """edges(src,dst,w) [+ vertices(vid)] -> (Dataset(vid, label), rounds)."""
+    """edges(src,dst,w) [+ vertices(vid)] -> (Dataset(vid, label), rounds).
+
+    ``engine="actor"`` runs the rounds on the BSP CSR actor pool.
+    """
     canon = canonicalize_undirected(edges_ds, weight="sum")
     if vertices_ds is None:
         vertices_ds = vertices_from_edges(edges_ds)
+    if engine == "actor":
+        from networkit_ray.state.csr import BSPGraph
+
+        g = BSPGraph(
+            symmetrize(canon), vertices_ds.select_columns(["vid"]), num_partitions
+        )
+        try:
+            return g.plp(max_iter=max_iter, fixed_iters=fixed_iters)
+        finally:
+            g.shutdown()
     sym = symmetrize(canon).materialize()
 
     labels = (

@@ -138,21 +138,35 @@ def _pagerank_dataset(
             ["vid", "c"]
         )
 
-    def _resid_abs(t: pa.Table) -> pa.Table:
-        return pa.table({"r": pc.abs(pc.subtract(t["score"], t["score_old"]))})
+    def _apply(t: pa.Table, base: float, d: float) -> pa.Table:
+        new = pc.add(
+            pc.multiply(pc.fill_null(pc.cast(t["c"], pa.float64()), 0.0), d), base
+        )
+        dangling = pc.if_else(pc.equal(t["wdeg"], 0.0), new, 0.0)
+        return pa.table(
+            {
+                "vid": t["vid"],
+                "score": new,
+                "wdeg": t["wdeg"],
+                "r": pc.abs(pc.subtract(new, t["score"])),
+                "dang": dangling,
+            }
+        )
+
+    # initial dangling mass (one tiny aggregate; thereafter folded into the
+    # per-iteration score materialization — 2 Ray jobs per iteration total)
+    dangling = (
+        scores.map_batches(
+            lambda t: t.filter(pc.equal(t["wdeg"], 0.0)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).sum("score", ignore_nulls=True)
+        or 0.0
+    )
 
     iters_target = fixed_iters if fixed_iters is not None else max_iter
     it = 0
     for it in range(1, iters_target + 1):
-        dangling = (
-            scores.map_batches(
-                lambda t: t.filter(pc.equal(t["wdeg"], 0.0)),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            ).sum("score", ignore_nulls=True)
-            or 0.0
-        )
-
         contribs = (
             edges_norm.join(
                 scores.select_columns(["vid", "score"]),
@@ -168,49 +182,25 @@ def _pagerank_dataset(
 
         base = (1.0 - damping) / n + damping * dangling / n
         new_scores = (
-            verts.join(
+            scores.select_columns(["vid", "score", "wdeg"])
+            .join(
                 contribs,
                 join_type="left_outer",
                 num_partitions=num_partitions,
                 on=("vid",),
             )
             .map_batches(
-                lambda t, base=base, d=damping: pa.table(
-                    {
-                        "vid": t["vid"],
-                        "score": pc.add(
-                            pc.multiply(
-                                pc.fill_null(pc.cast(t["c"], pa.float64()), 0.0), d
-                            ),
-                            base,
-                        ),
-                        "wdeg": t["wdeg"],
-                    }
-                ),
+                lambda t, base=base, d=damping: _apply(t, base, d),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
             .materialize()
         )
 
-        if fixed_iters is None:
-            resid = (
-                new_scores.select_columns(["vid", "score"])
-                .join(
-                    scores.select_columns(["vid", "score"]),
-                    join_type="inner",
-                    num_partitions=num_partitions,
-                    on=("vid",),
-                    left_suffix="",
-                    right_suffix="_old",
-                )
-                .map_batches(_resid_abs, batch_format="pyarrow", zero_copy_batch=True)
-                .sum("r")
-            )
-            scores = new_scores
-            if resid is not None and resid < tol:
-                break
-        else:
-            scores = new_scores
+        sums = new_scores.sum(["r", "dang"], ignore_nulls=True)
+        resid, dangling = sums["sum(r)"], sums["sum(dang)"]
+        scores = new_scores
+        if fixed_iters is None and resid < tol:
+            break
 
     return scores.select_columns(["vid", "score"]), it

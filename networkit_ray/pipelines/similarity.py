@@ -1,0 +1,203 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``knn_brute``: brute-force cosine top-k — numpy matmul per batch against a
+  broadcast (ray.put) query matrix.  The verifiable baseline; shuffle-free
+  (queries are broadcast once per actor, never re-shipped per batch).
+- ``knn_ivf``: IVF-style scale path — deterministic coarse centroids, each
+  vector assigned to its nearest centroid (one matmul pass), queries probe
+  only the ``nprobe`` nearest centroid buckets.  Recall < 1 by design;
+  tested against brute force for recall@k.
+- ``cosine_near_dup_pairs``: all vector pairs with cosine >= threshold
+  (a < b) — blocked matmul against the broadcast normalized matrix.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _emb_matrix(batch, col="embedding") -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix, zero-copy per chunk."""
+    arr = batch[col].combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def _load_embeddings(emb_ds, id_col="vec_id", col="embedding"):
+    """Materialize (ids, matrix) on the driver — small sides only (the
+    query set / centroid table), never the full corpus at scale."""
+    ids, mats = [], []
+    for b in emb_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        ids.append(b[id_col].to_numpy(zero_copy_only=False))
+        mats.append(_emb_matrix(b, col))
+    return np.concatenate(ids), np.vstack(mats)
+
+
+def knn_brute(emb_ds, queries_ds, k=10, id_col="vec_id", col="embedding"):
+    """-> Dataset(query_id, vec_id, sim): cosine top-k per query.
+
+    Each corpus batch computes sims vs the broadcast query matrix and emits
+    only its local top-k per query (the combiner); a final per-query
+    reduction keeps the global top-k.  Ties broken by smaller vec_id
+    (deterministic, matches the SQL oracle's ORDER BY sim DESC, vec_id).
+    """
+    import ray
+
+    q_ids, q_mat = _load_embeddings(queries_ds, id_col, col)
+    ref = ray.put((q_ids, _normalize(q_mat)))
+
+    class Score:
+        def __init__(self):
+            self.q_ids, self.q = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_emb_matrix(batch, col))
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            sims = self.q @ m.T  # (nq, nb)
+            nb = sims.shape[1]
+            kk = min(k, nb)
+            # local top-k per query (argpartition then exact sort)
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = []
+            for qi in range(sims.shape[0]):
+                idx = part[qi]
+                s = sims[qi, idx]
+                order = np.lexsort((ids[idx], -s))
+                rows.append(
+                    pa.table(
+                        {
+                            "query_id": np.full(kk, self.q_ids[qi], dtype=np.int64),
+                            "vec_id": ids[idx][order].astype(np.int64),
+                            "sim": s[order],
+                        }
+                    )
+                )
+            return pa.concat_tables(rows)
+
+    local_topk = emb_ds.map_batches(
+        Score, batch_format="pyarrow", zero_copy_batch=True, concurrency=4
+    )
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        return df
+
+    return local_topk.groupby("query_id").map_groups(
+        final_topk, batch_format="pandas"
+    )
+
+
+def knn_ivf(
+    emb_ds,
+    queries_ds,
+    k=10,
+    num_centroids=16,
+    nprobe=4,
+    id_col="vec_id",
+    col="embedding",
+):
+    """IVF-bucketed ANN: centroids = normalized first ``num_centroids``
+    corpus vectors (deterministic); vectors searched only in the nprobe
+    buckets nearest each query. Returns (query_id, vec_id, sim)."""
+    import ray
+
+    cent_ids, cent = _load_embeddings(emb_ds.limit(num_centroids), id_col, col)
+    cent = _normalize(cent)
+    q_ids, q_mat = _load_embeddings(queries_ds, id_col, col)
+    qn = _normalize(q_mat)
+    # which buckets each query probes
+    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+    ref = ray.put((q_ids, qn, cent, probes))
+
+    class Score:
+        def __init__(self):
+            self.q_ids, self.q, self.cent, self.probes = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_emb_matrix(batch, col))
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            assign = np.argmax(m @ self.cent.T, axis=1)  # bucket per vector
+            out = []
+            for qi in range(len(self.q_ids)):
+                mask = np.isin(assign, self.probes[qi])
+                if not mask.any():
+                    continue
+                sub = m[mask]
+                sub_ids = ids[mask]
+                sims = sub @ self.q[qi]
+                kk = min(k, len(sims))
+                part = np.argpartition(-sims, kk - 1)[:kk]
+                order = np.lexsort((sub_ids[part], -sims[part]))
+                sel = part[order]
+                out.append(
+                    pa.table(
+                        {
+                            "query_id": np.full(kk, self.q_ids[qi], dtype=np.int64),
+                            "vec_id": sub_ids[sel].astype(np.int64),
+                            "sim": sims[sel],
+                        }
+                    )
+                )
+            if not out:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], type=pa.int64()),
+                        "vec_id": pa.array([], type=pa.int64()),
+                        "sim": pa.array([], type=pa.float64()),
+                    }
+                )
+            return pa.concat_tables(out)
+
+    local = emb_ds.map_batches(
+        Score, batch_format="pyarrow", zero_copy_batch=True, concurrency=4
+    )
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+
+    return local.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def cosine_near_dup_pairs(emb_ds, threshold=0.95, id_col="vec_id", col="embedding"):
+    """-> Dataset(a, b, sim): all pairs with cosine >= threshold, a < b.
+
+    Corpus normalized matrix broadcast once; each batch matmuls against it.
+    O(n²) flops but only threshold-crossing pairs are materialized.
+    """
+    import ray
+
+    all_ids, all_mat = _load_embeddings(emb_ds, id_col, col)
+    ref = ray.put((all_ids, _normalize(all_mat)))
+
+    class Pairs:
+        def __init__(self):
+            self.ids, self.m = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_emb_matrix(batch, col))
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            sims = m @ self.m.T
+            bi, bj = np.nonzero(sims >= threshold)
+            a = ids[bi]
+            b = self.ids[bj]
+            keep = a < b
+            return pa.table(
+                {
+                    "a": a[keep].astype(np.int64),
+                    "b": b[keep].astype(np.int64),
+                    "sim": sims[bi, bj][keep],
+                }
+            )
+
+    return emb_ds.map_batches(
+        Pairs, batch_format="pyarrow", zero_copy_batch=True, concurrency=4
+    )

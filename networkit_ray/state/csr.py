@@ -1,0 +1,514 @@
+"""BSP engine: hash-partitioned CSR block partitions in stateful Ray actors.
+
+This is the north-star physical plan (BASELINE.json:6): "each iteration is a
+groupby-aggregate shuffle of (dst, contribution) messages against
+hash-partitioned CSR block partitions held in stateful actor pools".  The
+Dataset API cannot express a fixpoint loop without re-planning and
+re-materializing per iteration, so the iterative kernels drop to raw Ray
+actors — the one place SURVEY.md §4.2 sanctions it — while graph *build*
+stays pure Ray Data (the edge/vertex Datasets stream INTO the actors via a
+map_batches feed stage).
+
+Design (scale rationale):
+- Partitioning: ``part(v) = v % P`` over int64 vids (blake2b-hashed for
+  string keys -> uniform).  Actor p owns vertices with part==p and the CSR
+  of out-edges whose src it owns.
+- Static message routing: at finalize time each actor computes, per target
+  partition t, the sorted unique destination vids it ever sends to
+  (``out_vids[t]``) and the per-edge index into that array.  Targets
+  pre-translate these once (``in_idx``).  After that, one PageRank
+  iteration moves ONLY float64 arrays (pre-aggregated per-destination
+  sums) actor-to-actor through the object store — the per-iteration
+  shuffle volume is O(unique dst per partition pair), not O(edges).
+- Per-partition pre-aggregation = the combiner: np.bincount over the local
+  CSR before anything is shipped.  Hub vertices receive P partial sums,
+  one per source partition — the skew-splitting of the reduce
+  (BASELINE.json:14 "skew splitting for hub vertices"): a hub's in-mass
+  arrives as ≤P pre-combined partials, never as raw per-edge messages.
+- Lineage: state/lineage.py manifests per (iteration, partition) with an
+  atomic _SUCCESS per iteration; kill-resume restarts mid-iteration at
+  partition granularity.
+
+The same actor pool runs PageRank (scores), hash-min connected components
+and synchronous PLP (labels) — only the message/apply kernels differ.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from networkit_ray.state import lineage
+
+
+def _part(vids: np.ndarray, P: int) -> np.ndarray:
+    return vids % P
+
+
+def _to_np(col) -> np.ndarray:
+    return col.combine_chunks().to_numpy(zero_copy_only=False)
+
+
+@ray.remote
+class CSRPartition:
+    """One hash partition: owned vertices + CSR of their out-edges + state."""
+
+    def __init__(self, part_id: int, num_parts: int):
+        self.pid = part_id
+        self.P = num_parts
+        self._edge_chunks: list[pa.Table] = []
+        self._vert_chunks: list[np.ndarray] = []
+        self.owned = None  # sorted unique vids owned by this partition
+
+    # ---- load phase -------------------------------------------------------
+    def add_edges(self, tbl: pa.Table):
+        self._edge_chunks.append(tbl)
+
+    def add_vertices(self, vids: np.ndarray):
+        self._vert_chunks.append(np.asarray(vids, dtype=np.int64))
+
+    def finalize_graph(self):
+        """Build CSR + static per-target routing. Returns P out_vids arrays."""
+        if self._edge_chunks:
+            t = pa.concat_tables(self._edge_chunks)
+            src = _to_np(t["src"])
+            dst = _to_np(t["dst"])
+            w = _to_np(t["w"]).astype(np.float64)
+        else:
+            src = dst = np.empty(0, dtype=np.int64)
+            w = np.empty(0, dtype=np.float64)
+        self._edge_chunks = []
+
+        vert_extra = (
+            np.concatenate(self._vert_chunks)
+            if self._vert_chunks
+            else np.empty(0, dtype=np.int64)
+        )
+        self._vert_chunks = []
+        self.owned = np.unique(np.concatenate([src, vert_extra]))
+        n = len(self.owned)
+
+        src_local = np.searchsorted(self.owned, src)
+        order = np.argsort(src_local, kind="stable")
+        self.src_local = src_local[order].astype(np.int64)
+        dst_s = dst[order]
+        w_s = w[order]
+        self.wdeg = np.zeros(n, dtype=np.float64)
+        np.add.at(self.wdeg, self.src_local, w_s)
+
+        # static routing: group edges by destination partition
+        dpart = _part(dst_s, self.P)
+        self.route = []  # per target t: (edge_pos, edge_out_idx, out_vids)
+        out_vids_all = []
+        for t_id in range(self.P):
+            pos = np.flatnonzero(dpart == t_id)
+            dst_t = dst_s[pos]
+            out_vids, inv = np.unique(dst_t, return_inverse=True)
+            self.route.append(
+                (
+                    self.src_local[pos],
+                    w_s[pos],
+                    inv.astype(np.int64),
+                    len(out_vids),
+                )
+            )
+            out_vids_all.append(out_vids)
+        self.n_owned = n
+        if self.P == 1:
+            return out_vids_all[0]
+        return tuple(out_vids_all)
+
+    def set_in_routes(self, *vid_arrays):
+        """vid_arrays[s] = out_vids of source partition s destined here."""
+        self.in_idx = [
+            np.searchsorted(self.owned, np.asarray(v, dtype=np.int64))
+            for v in vid_arrays
+        ]
+        return self.n_owned
+
+    def num_owned(self) -> int:
+        return self.n_owned
+
+    # ---- PageRank ---------------------------------------------------------
+    def pr_init(self, n_total: int) -> float:
+        self.n_total = n_total
+        self.score = np.full(self.n_owned, 1.0 / n_total, dtype=np.float64)
+        return float(self.score[self.wdeg == 0.0].sum())
+
+    def pr_messages(self):
+        """Per-target pre-aggregated (dst, contribution) sums."""
+        rate = np.divide(
+            self.score, self.wdeg, out=np.zeros_like(self.score), where=self.wdeg > 0
+        )
+        out = []
+        for src_local, w, out_idx, n_out in self.route:
+            if n_out == 0:
+                out.append(np.empty(0, dtype=np.float64))
+                continue
+            contrib = rate[src_local] * w
+            out.append(np.bincount(out_idx, weights=contrib, minlength=n_out))
+        if self.P == 1:
+            return out[0]
+        return tuple(out)
+
+    def pr_apply(self, base: float, damping: float, *msgs):
+        new = np.full(self.n_owned, base, dtype=np.float64)
+        for s, m in enumerate(msgs):
+            if len(m):
+                new[self.in_idx[s]] += damping * m
+        resid = float(np.abs(new - self.score).sum())
+        self.score = new
+        dang = float(new[self.wdeg == 0.0].sum())
+        return resid, dang
+
+    def scores_table(self) -> pa.Table:
+        return pa.table({"vid": self.owned, "score": self.score})
+
+    # ---- label state (CC hash-min / sync PLP) -----------------------------
+    def lab_init(self) -> None:
+        self.label = self.owned.copy()
+
+    def cc_messages(self):
+        out = []
+        for src_local, _w, out_idx, n_out in self.route:
+            if n_out == 0:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            m = np.full(n_out, np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(m, out_idx, self.label[src_local])
+            out.append(m)
+        return out[0] if self.P == 1 else tuple(out)
+
+    def cc_apply(self, *msgs) -> int:
+        new = self.label.copy()
+        for s, m in enumerate(msgs):
+            if len(m):
+                idx = self.in_idx[s]
+                np.minimum.at(new, idx, m)
+        changed = int((new != self.label).sum())
+        self.label = new
+        return changed
+
+    def plp_messages(self):
+        import pandas as pd
+
+        out = []
+        for src_local, w, out_idx, n_out in self.route:
+            if n_out == 0:
+                out.append(
+                    (
+                        np.empty(0, dtype=np.int64),
+                        np.empty(0, dtype=np.int64),
+                        np.empty(0, dtype=np.float64),
+                    )
+                )
+                continue
+            df = pd.DataFrame(
+                {"i": out_idx, "l": self.label[src_local], "w": w}
+            ).groupby(["i", "l"], sort=False, as_index=False)["w"].sum()
+            out.append(
+                (
+                    df["i"].to_numpy(np.int64),
+                    df["l"].to_numpy(np.int64),
+                    df["w"].to_numpy(np.float64),
+                )
+            )
+        return out[0] if self.P == 1 else tuple(out)
+
+    def plp_apply(self, *msgs) -> int:
+        import pandas as pd
+
+        locs, labs, ws = [], [], []
+        for s, (i, l, w) in enumerate(msgs):
+            if len(i):
+                locs.append(self.in_idx[s][i])
+                labs.append(l)
+                ws.append(w)
+        if not locs:
+            return 0
+        loc = np.concatenate(locs)
+        lab = np.concatenate(labs)
+        w = np.concatenate(ws)
+        df = (
+            pd.DataFrame({"v": loc, "l": lab, "w": w})
+            .groupby(["v", "l"], sort=False, as_index=False)["w"]
+            .sum()
+        )
+        v = df["v"].to_numpy(np.int64)
+        l = df["l"].to_numpy(np.int64)
+        ws_ = df["w"].to_numpy(np.float64)
+        # winner per vertex: max w, ties -> min label (lexsort: last key primary)
+        order = np.lexsort((l, -ws_, v))
+        v_o, l_o = v[order], l[order]
+        first = np.ones(len(v_o), dtype=bool)
+        first[1:] = v_o[1:] != v_o[:-1]
+        winners_v = v_o[first]
+        winners_l = l_o[first]
+        new = self.label.copy()
+        new[winners_v] = winners_l
+        changed = int((new != self.label).sum())
+        self.label = new
+        return changed
+
+    def labels_table(self) -> pa.Table:
+        return pa.table({"vid": self.owned, "label": self.label})
+
+    # ---- lineage / checkpoint --------------------------------------------
+    def checkpoint(self, run_dir: str, it: int, job_id: str, kind: str = "score"):
+        tbl = self.scores_table() if kind == "score" else self.labels_table()
+        return lineage.write_partition(
+            run_dir,
+            it,
+            self.pid,
+            tbl,
+            job_id,
+            extra={"kind": kind, "n_owned": self.n_owned},
+        )
+
+    def load_checkpoint(self, run_dir: str, it: int, kind: str = "score") -> float:
+        tbl = lineage.load_partition(run_dir, it, self.pid)
+        vids = _to_np(tbl["vid"])
+        if len(vids) != self.n_owned or not np.array_equal(vids, self.owned):
+            raise RuntimeError(
+                f"checkpoint partition {self.pid} does not match graph partition"
+            )
+        if kind == "score":
+            self.score = _to_np(tbl["score"]).astype(np.float64)
+            return float(self.score[self.wdeg == 0.0].sum())
+        self.label = _to_np(tbl["label"]).astype(np.int64)
+        return 0.0
+
+
+# --------------------------------------------------------------------------
+# driver-side orchestration
+# --------------------------------------------------------------------------
+
+
+def _feed_actors(edges_ds, vertices_ds, actors, P):
+    """Stream the edge/vertex Datasets into the partition actors.
+
+    A map_batches stage splits every Arrow batch by destination partition
+    and pushes the slices to the owning actors; ray.get inside the task
+    provides backpressure.  Data flows task -> actor through the object
+    store without touching the driver.
+    """
+    import pyarrow.compute as pc
+
+    def feed_edges(batch: pa.Table) -> pa.Table:
+        p = _part(_to_np(batch["src"]), P)
+        refs = []
+        for t_id in range(P):
+            sub = batch.filter(pa.array(p == t_id))
+            if sub.num_rows:
+                refs.append(actors[t_id].add_edges.remote(sub.select(["src", "dst", "w"])))
+        ray.get(refs)
+        return pa.table({"n": pa.array([batch.num_rows], type=pa.int64())})
+
+    def feed_vertices(batch: pa.Table) -> pa.Table:
+        vids = _to_np(batch["vid"])
+        p = _part(vids, P)
+        refs = []
+        for t_id in range(P):
+            sub = vids[p == t_id]
+            if len(sub):
+                refs.append(actors[t_id].add_vertices.remote(sub))
+        ray.get(refs)
+        return pa.table({"n": pa.array([len(vids)], type=pa.int64())})
+
+    edges_ds.map_batches(
+        feed_edges, batch_format="pyarrow", zero_copy_batch=True
+    ).count()
+    if vertices_ds is not None:
+        vertices_ds.select_columns(["vid"]).map_batches(
+            feed_vertices, batch_format="pyarrow", zero_copy_batch=True
+        ).count()
+
+
+def _wire_routes(actors, P):
+    if P == 1:
+        route_refs = [[actors[0].finalize_graph.remote()]]
+    else:
+        route_refs = [
+            list(a.finalize_graph.options(num_returns=P).remote()) for a in actors
+        ]
+    n_refs = [
+        actors[t].set_in_routes.remote(*[route_refs[s][t] for s in range(P)])
+        for t in range(P)
+    ]
+    return sum(ray.get(n_refs))
+
+
+class BSPGraph:
+    """A loaded, routed actor-pool graph ready to run iterative kernels."""
+
+    def __init__(self, edges_ds, vertices_ds=None, num_partitions: int = 8):
+        self.P = num_partitions
+        self.actors = [
+            CSRPartition.options(num_cpus=1).remote(p, num_partitions)
+            for p in range(num_partitions)
+        ]
+        _feed_actors(edges_ds, vertices_ds, self.actors, self.P)
+        self.n = _wire_routes(self.actors, self.P)
+
+    def _collect(self, method: str):
+        refs = [getattr(a, method).remote() for a in self.actors]
+        import ray.data
+
+        ds = ray.data.from_arrow_refs(refs).materialize()
+        return ds
+
+    def shutdown(self):
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+    # ---- PageRank ---------------------------------------------------------
+    def pagerank(
+        self,
+        damping=0.85,
+        tol=1e-10,
+        max_iter=100,
+        fixed_iters=None,
+        checkpoint=None,
+        stats=None,
+    ):
+        P, actors = self.P, self.actors
+        ck = checkpoint or {}
+        run_dir, every = ck.get("dir"), ck.get("every", 0)
+        job_id = ck.get("job_id", "job")
+        start_it = 0
+        dangling = None
+        if run_dir and ck.get("resume"):
+            latest = lineage.latest_complete_iter(run_dir)
+            if latest is not None:
+                dangling = sum(
+                    ray.get(
+                        [a.load_checkpoint.remote(run_dir, latest) for a in actors]
+                    )
+                )
+                start_it = latest
+        if dangling is None:
+            dangling = sum(ray.get([a.pr_init.remote(self.n) for a in actors]))
+
+        it = start_it
+        iters_target = fixed_iters if fixed_iters is not None else max_iter
+        while it < iters_target:
+            it += 1
+            t0 = time.perf_counter()
+            base = (1.0 - damping) / self.n + damping * dangling / self.n
+            if P == 1:
+                msg_refs = [[actors[0].pr_messages.remote()]]
+            else:
+                msg_refs = [
+                    list(a.pr_messages.options(num_returns=P).remote())
+                    for a in actors
+                ]
+            stat_refs = [
+                actors[t].pr_apply.remote(
+                    base, damping, *[msg_refs[s][t] for s in range(P)]
+                )
+                for t in range(P)
+            ]
+            stats_l = ray.get(stat_refs)
+            resid = sum(s[0] for s in stats_l)
+            dangling = sum(s[1] for s in stats_l)
+            if stats is not None:
+                stats.setdefault("iter_wall_s", []).append(time.perf_counter() - t0)
+            if run_dir and every and it % every == 0:
+                ray.get(
+                    [a.checkpoint.remote(run_dir, it, job_id, "score") for a in actors]
+                )
+                lineage.commit_iteration(
+                    run_dir, it, P, {"dangling": dangling, "resid": resid}
+                )
+            if fixed_iters is None and resid < tol:
+                break
+        return self._collect("scores_table"), it
+
+    # ---- connected components (hash-min) ----------------------------------
+    def cc_hashmin(self, max_iter=200, stats=None):
+        P, actors = self.P, self.actors
+        ray.get([a.lab_init.remote() for a in actors])
+        rounds = 0
+        while rounds < max_iter:
+            rounds += 1
+            t0 = time.perf_counter()
+            if P == 1:
+                msg_refs = [[actors[0].cc_messages.remote()]]
+            else:
+                msg_refs = [
+                    list(a.cc_messages.options(num_returns=P).remote())
+                    for a in actors
+                ]
+            changed = sum(
+                ray.get(
+                    [
+                        actors[t].cc_apply.remote(*[msg_refs[s][t] for s in range(P)])
+                        for t in range(P)
+                    ]
+                )
+            )
+            if stats is not None:
+                stats.setdefault("iter_wall_s", []).append(time.perf_counter() - t0)
+            if changed == 0:
+                break
+        return self._collect("labels_table"), rounds
+
+    # ---- synchronous PLP ---------------------------------------------------
+    def plp(self, max_iter=100, fixed_iters=None, stats=None):
+        P, actors = self.P, self.actors
+        ray.get([a.lab_init.remote() for a in actors])
+        rounds = 0
+        iters_target = fixed_iters if fixed_iters is not None else max_iter
+        while rounds < iters_target:
+            rounds += 1
+            t0 = time.perf_counter()
+            if P == 1:
+                msg_refs = [[actors[0].plp_messages.remote()]]
+            else:
+                msg_refs = [
+                    list(a.plp_messages.options(num_returns=P).remote())
+                    for a in actors
+                ]
+            changed = sum(
+                ray.get(
+                    [
+                        actors[t].plp_apply.remote(*[msg_refs[s][t] for s in range(P)])
+                        for t in range(P)
+                    ]
+                )
+            )
+            if stats is not None:
+                stats.setdefault("iter_wall_s", []).append(time.perf_counter() - t0)
+            if fixed_iters is None and changed == 0:
+                break
+        return self._collect("labels_table"), rounds
+
+
+def bsp_pagerank(
+    edges_ds,
+    vertices_ds=None,
+    damping=0.85,
+    tol=1e-10,
+    max_iter=100,
+    fixed_iters=None,
+    num_partitions=8,
+    checkpoint=None,
+    stats=None,
+):
+    g = BSPGraph(edges_ds, vertices_ds, num_partitions)
+    try:
+        return g.pagerank(
+            damping=damping,
+            tol=tol,
+            max_iter=max_iter,
+            fixed_iters=fixed_iters,
+            checkpoint=checkpoint,
+            stats=stats,
+        )
+    finally:
+        g.shutdown()
