@@ -1,16 +1,25 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in networkit_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+queries(): one entry per operator family from SURVEY.md §2 over the
+testdata tables at sf_dir; oracle_sql(): the DuckDB-equivalent SQL.  The
+graph operators run over two SQL-derivable graphs:
+
+  customer–supplier graph: src=o_custkey, dst=l_suppkey+10000000,
+      w = lineitem count   (pagerank / components / label propagation)
+  supplier co-part graph: suppliers sharing a part
+      (triangle counts — the customer-supplier graph is bipartite and
+      triangle-free by construction)
+
+Floating scores are rounded with FLOOR(x*1e6 + 0.5)/1e6 on BOTH sides so
+the driver's value-hash comparison is insensitive to sub-1e-6 float
+associativity (the north star's own tolerance — BASELINE.json:6).
+
+Non-SQL-expressible operators (minhash-LSH, simhash, winnowing
+fingerprints, IVF ANN, corpus extraction) are registered without oracles →
+driver records rows-only checks; their value-level tests live in tests/.
 """
 
 from __future__ import annotations
@@ -18,27 +27,519 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+P = 4  # partitions for the sf0.01 correctness runs
+PR_ITERS = 20
+PLP_ITERS = 5
+SUPPLIER_OFFSET = 10_000_000
+
+
+def _round6(ds, col):
+    def f(t: pa.Table) -> pa.Table:
+        x = t[col].combine_chunks().to_numpy(zero_copy_only=False)
+        r = np.floor(x * 1e6 + 0.5) / 1e6
+        cols = {n: t[n] for n in t.schema.names}
+        cols[col] = pa.array(r)
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _edges(sf_dir):
+    from networkit_ray.sources.tables import customer_supplier_edges
+
+    return customer_supplier_edges(sf_dir, num_partitions=P)
+
+
+def _supplier_edges(sf_dir):
+    """Supplier co-part projection: canonical (src<dst, w=1) edges."""
+    from networkit_ray.sources.tables import read_table
+
+    ps = (
+        read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+        .map_batches(
+            lambda t: t.group_by(["l_partkey", "l_suppkey"]).aggregate([]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["l_partkey", "l_suppkey"], num_partitions=P)
+        .count()
+        .select_columns(["l_partkey", "l_suppkey"])
+    )
+    pairs = ps.join(
+        ps,
+        join_type="inner",
+        num_partitions=P,
+        on=("l_partkey",),
+        left_suffix="_a",
+        right_suffix="_b",
+    )
+
+    def mk(t: pa.Table) -> pa.Table:
+        a = t["l_suppkey_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["l_suppkey_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = a < b
+        out = pa.table(
+            {
+                "src": a[keep].astype(np.int64),
+                "dst": b[keep].astype(np.int64),
+            }
+        )
+        return out.group_by(["src", "dst"]).aggregate([])
+
+    pairs = (
+        pairs.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src", "dst"], num_partitions=P)
+        .count()
+    )
+    return pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "w": pa.array(np.ones(t.num_rows, dtype=np.float64)),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _suppliers(sf_dir):
+    from networkit_ray.sources.tables import read_table
+
+    return (
+        read_table(sf_dir, "lineitem", columns=["l_suppkey"])
+        .map_batches(
+            lambda t: pa.table(
+                {"vid": pc.unique(t["l_suppkey"].combine_chunks()).cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("vid", num_partitions=P)
+        .count()
+        .select_columns(["vid"])
+    )
+
+
+def _docs(sf_dir):
+    from networkit_ray.sources.tables import read_table
+
+    return read_table(sf_dir, "documents")
+
+
+def _emb(sf_dir):
+    from networkit_ray.sources.tables import read_table
+
+    return read_table(sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------------------
+# query implementations
+# --------------------------------------------------------------------------
+
+
+def q_edges_build(sf_dir):
+    return _edges(sf_dir)
+
+
+def q_degrees(sf_dir):
+    from networkit_ray.stages.graphops import out_degrees
+
+    return out_degrees(_edges(sf_dir))
+
+
+def q_pagerank(sf_dir):
+    from networkit_ray.pipelines.pagerank import pagerank
+
+    scores, _ = pagerank(
+        _edges(sf_dir), fixed_iters=PR_ITERS, num_partitions=P, engine="actor"
+    )
+    return _round6(scores, "score")
+
+
+def q_connected_components(sf_dir):
+    from networkit_ray.pipelines.components import connected_components
+
+    labels, _ = connected_components(_edges(sf_dir), num_partitions=P, engine="actor")
+    return labels
+
+
+def q_label_propagation(sf_dir):
+    from networkit_ray.pipelines.labelprop import label_propagation
+
+    labels, _ = label_propagation(
+        _edges(sf_dir), fixed_iters=PLP_ITERS, num_partitions=P, engine="actor"
+    )
+    return labels
+
+
+def q_triangles(sf_dir):
+    from networkit_ray.pipelines.triangles import triangle_counts
+
+    return triangle_counts(
+        _supplier_edges(sf_dir), _suppliers(sf_dir), num_partitions=P
+    )
+
+
+def q_text_stats(sf_dir):
+    from networkit_ray.pipelines.textstats import text_stats
+
+    out = text_stats(_docs(sf_dir))
+    return _round6(_round6(out, "stop_ratio"), "quality_score")
+
+
+def q_exact_dedup(sf_dir):
+    from networkit_ray.pipelines.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir), num_partitions=P)
+
+
+def q_jaccard_pairs(sf_dir):
+    from networkit_ray.pipelines.dedup import jaccard_similar_pairs
+
+    return _round6(
+        jaccard_similar_pairs(_docs(sf_dir), threshold=0.8, num_partitions=P),
+        "jaccard",
+    )
+
+
+def q_minhash_groups(sf_dir):
+    from networkit_ray.pipelines.dedup import minhash_dedup_groups
+
+    return minhash_dedup_groups(_docs(sf_dir), threshold=0.5, num_partitions=P)
+
+
+def q_simhash_near_dups(sf_dir):
+    from networkit_ray.pipelines.dedup import simhash_near_dups
+
+    return simhash_near_dups(_docs(sf_dir), max_hamming=3, num_partitions=P)
+
+
+def q_fingerprints(sf_dir):
+    from networkit_ray.pipelines.textstats import fingerprints
+
+    return fingerprints(_docs(sf_dir))
+
+
+def q_knn_brute(sf_dir):
+    from networkit_ray.pipelines.similarity import knn_brute
+
+    emb = _emb(sf_dir)
+    return _round6(knn_brute(emb, emb.limit(5), k=10), "sim")
+
+
+def q_knn_ivf(sf_dir):
+    from networkit_ray.pipelines.similarity import knn_ivf
+
+    emb = _emb(sf_dir)
+    return knn_ivf(emb, emb.limit(5), k=10, num_centroids=16, nprobe=4)
+
+
+def q_cosine_near_dups(sf_dir):
+    from networkit_ray.pipelines.similarity import cosine_near_dup_pairs
+
+    return _round6(cosine_near_dup_pairs(_emb(sf_dir), threshold=0.4), "sim")
+
+
+def q_corpus_extract(sf_dir):
+    """North-star pipeline head on the synthetic corpus (input-hint shape):
+    generate -> sha256 -> extract -> count edges per (src,dst) repo pair."""
+    from networkit_ray.sources.corpus import corpus_dataset
+    from networkit_ray.stages.extract import extract_edges
+    from networkit_ray.stages.sha256 import with_sha256
+
+    corpus = with_sha256(corpus_dataset(num_repos=100, seed=42, parallelism=4))
+    ek = extract_edges(corpus, level="repo")
+    return (
+        ek.groupby(["src_key", "dst_key"], num_partitions=P)
+        .count()
+        .rename_columns({"count()": "n"})
+    )
+
+
+def q_corpus_pagerank(sf_dir):
+    """Full north-star pipeline: corpus -> extract -> hashed vids -> dedup
+    -> PageRank (actor engine) -> scores joined back to repo keys."""
+    from networkit_ray.pipelines.pagerank import pagerank
+    from networkit_ray.sources.corpus import corpus_dataset
+    from networkit_ray.stages.extract import extract_edges
+    from networkit_ray.stages.graphops import dedup_edges
+    from networkit_ray.stages.ids import edge_keys_to_edges, vertex_table
+
+    corpus = corpus_dataset(num_repos=100, seed=42, parallelism=4)
+    ek = extract_edges(corpus, level="repo")
+    edges = dedup_edges(edge_keys_to_edges(ek), weight="sum")
+    verts = vertex_table(ek)
+    scores, _ = pagerank(edges, verts, fixed_iters=PR_ITERS, num_partitions=P, engine="actor")
+    out = scores.join(verts, join_type="inner", num_partitions=P, on=("vid",))
+    return _round6(out.select_columns(["key", "score"]), "score")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship on sf0.001: build customer-supplier graph, PageRank via the
+    BSP CSR actor engine, return the scored vertex table."""
+    scores = q_pagerank("/root/testdata/sf0.001")
+    return scores
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "edges_build": q_edges_build,
+        "degrees": q_degrees,
+        "pagerank": q_pagerank,
+        "connected_components": q_connected_components,
+        "label_propagation": q_label_propagation,
+        "triangle_counts": q_triangles,
+        "text_stats": q_text_stats,
+        "exact_dedup": q_exact_dedup,
+        "jaccard_similar_pairs": q_jaccard_pairs,
+        "minhash_dedup_groups": q_minhash_groups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "fingerprints": q_fingerprints,
+        "knn_brute": q_knn_brute,
+        "knn_ivf": q_knn_ivf,
+        "cosine_near_dup_pairs": q_cosine_near_dups,
+        "corpus_extract_edges": q_corpus_extract,
+        "corpus_pagerank": q_corpus_pagerank,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_EDGES_SQL = f"""
+SELECT o_custkey AS src, l_suppkey + {SUPPLIER_OFFSET} AS dst,
+       CAST(COUNT(*) AS DOUBLE) AS w
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+_GRAPH_PRELUDE = f"""
+WITH RECURSIVE
+edges AS ({_EDGES_SQL}),
+verts AS (SELECT DISTINCT src AS vid FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+wdeg AS (SELECT src AS vid, SUM(w) AS wd FROM edges GROUP BY 1)
+"""
+
+
+def _pagerank_sql(iters: int) -> str:
+    return (
+        _GRAPH_PRELUDE
+        + f""",
+trans AS (
+  -- real transitions + dangling uniform fan-out + zero-weight self loops
+  -- (the self loops guarantee every vertex receives >=1 message per
+  -- iteration, so the recursion carries all vertices without a second
+  -- reference to the recursive table)
+  SELECT e.src, e.dst, e.w / d.wd AS frac
+  FROM edges e JOIN wdeg d ON e.src = d.vid
+  UNION ALL
+  SELECT dg.vid AS src, v.vid AS dst, 1.0 / (SELECT n FROM nn) AS frac
+  FROM (SELECT v2.vid FROM verts v2 LEFT JOIN wdeg d2 ON v2.vid = d2.vid
+        WHERE d2.vid IS NULL) dg
+  CROSS JOIN verts v
+  UNION ALL
+  SELECT vid, vid, 0.0 FROM verts
+),
+pr AS (
+  SELECT 0 AS iter, vid, 1.0 / (SELECT n FROM nn) AS score FROM verts
+  UNION ALL
+  SELECT c.iter + 1, c.vid,
+         0.15 / (SELECT n FROM nn) + 0.85 * c.c
+  FROM (
+    SELECT p.iter AS iter, t.dst AS vid, SUM(p.score * t.frac) AS c
+    FROM pr p JOIN trans t ON p.vid = t.src
+    WHERE p.iter < {iters}
+    GROUP BY 1, 2
+  ) c
+)
+SELECT vid, FLOOR(score * 1000000 + 0.5) / 1000000.0 AS score
+FROM pr WHERE iter = {iters}
+"""
+    )
+
+
+_CC_SQL = (
+    _GRAPH_PRELUDE
+    + """,
+ue AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+reach AS (
+  SELECT vid, vid AS root FROM verts
+  UNION
+  SELECT ue.dst AS vid, r.root
+  FROM reach r JOIN ue ON ue.src = r.vid
+)
+SELECT vid, MIN(root) AS label FROM reach GROUP BY vid
+"""
+)
+
+
+def _plp_sql(iters: int) -> str:
+    return (
+        _GRAPH_PRELUDE
+        + f""",
+ue AS (
+  SELECT src, dst, w FROM edges
+  UNION ALL SELECT dst, src, w FROM edges
+  UNION ALL SELECT vid, vid, 0.0 FROM verts
+),
+plp AS (
+  SELECT 0 AS iter, vid, vid AS label FROM verts
+  UNION ALL
+  SELECT iter + 1, vid, label FROM (
+    SELECT l.iter AS iter, ue.dst AS vid, l.label AS label,
+           ROW_NUMBER() OVER (
+             PARTITION BY l.iter, ue.dst
+             ORDER BY SUM(ue.w) DESC, l.label ASC
+           ) AS rn
+    FROM plp l JOIN ue ON ue.src = l.vid
+    WHERE l.iter < {iters}
+    GROUP BY l.iter, ue.dst, l.label
+  ) WHERE rn = 1
+)
+SELECT vid, label FROM plp WHERE iter = {iters}
+"""
+    )
+
+
+_TRIANGLES_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+ue AS (SELECT DISTINCT a.s AS src, b.s AS dst
+       FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM ue e1
+  JOIN ue e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN ue e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+),
+corners AS (
+  SELECT a AS vid FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+verts AS (SELECT DISTINCT s AS vid FROM ps)
+SELECT v.vid, COALESCE(c.cnt, 0) AS triangles
+FROM verts v LEFT JOIN (SELECT vid, COUNT(*) AS cnt FROM corners GROUP BY 1) c
+USING (vid)
+"""
+
+_TEXT_STATS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, COALESCE(text, '') AS text FROM documents
+),
+tok AS (
+  SELECT doc_id, text,
+         CASE WHEN TRIM(text) = '' THEN []
+              ELSE string_split_regex(TRIM(text), '\s+') END AS toks
+  FROM t
+),
+base AS (
+  SELECT doc_id,
+         LEN(toks) AS n_tokens,
+         LEN(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+'))
+             AS bpe_tokens,
+         LENGTH(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+         CAST(LEN(list_filter(toks,
+              x -> x IN ('the','a','and','of','to'))) AS DOUBLE)
+             / GREATEST(LEN(toks), 1) AS stop_ratio,
+         LEN(list_filter(toks, x -> x IN ('the','a','and','of','to'))) AS en_c,
+         LEN(list_filter(toks, x -> x IN ('el','la','de','y','en'))) AS es_c,
+         LEN(list_filter(toks, x -> x IN ('der','die','und','ist','zu'))) AS de_c
+  FROM tok
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+       CAST(n_nonspace AS BIGINT) AS n_nonspace,
+       FLOOR(stop_ratio * 1000000 + 0.5) / 1000000.0 AS stop_ratio,
+       FLOOR(LEAST(1.0, n_tokens / 100.0) * (1.0 - ABS(stop_ratio - 0.4))
+             * 1000000 + 0.5) / 1000000.0 AS quality_score,
+       CASE WHEN en_c > es_c AND en_c > de_c THEN 'en'
+            WHEN es_c > en_c AND es_c > de_c THEN 'es'
+            WHEN de_c > en_c AND de_c > es_c THEN 'de'
+            ELSE 'und' END AS pred_lang
+FROM base
+"""
+
+_EXACT_DEDUP_SQL = """
+SELECT sha256(COALESCE(text, '')) AS sha, MIN(doc_id) AS doc_id
+FROM documents GROUP BY 1
+"""
+
+_JACCARD_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(TRIM(COALESCE(text,'')), '\s+')) AS toks
+  FROM documents
+  WHERE TRIM(COALESCE(text,'')) <> ''
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       FLOOR(CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (LEN(a.toks) + LEN(b.toks) - LEN(list_intersect(a.toks, b.toks)))
+             * 1000000 + 0.5) / 1000000.0 AS jaccard
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / (LEN(a.toks) + LEN(b.toks) - LEN(list_intersect(a.toks, b.toks))) >= 0.8
+"""
+
+_KNN_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           ORDER BY vec_id LIMIT 5),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q CROSS JOIN embeddings e
+)
+SELECT query_id, vec_id,
+       FLOOR(sim * 1000000 + 0.5) / 1000000.0 AS sim
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM sims
+) WHERE rn <= 10
+"""
+
+_COSINE_DUPS_SQL = """
+SELECT a, b, FLOOR(sim * 1000000 + 0.5) / 1000000.0 AS sim
+FROM (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE sim >= 0.4
+"""
+
+_DEGREES_SQL = f"""
+WITH edges AS ({_EDGES_SQL})
+SELECT src AS vid, COUNT(*) AS out_deg, SUM(w) AS w_out_deg
+FROM edges GROUP BY 1
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "edges_build": _EDGES_SQL,
+        "degrees": _DEGREES_SQL,
+        "pagerank": _pagerank_sql(PR_ITERS),
+        "connected_components": _CC_SQL,
+        "label_propagation": _plp_sql(PLP_ITERS),
+        "triangle_counts": _TRIANGLES_SQL,
+        "text_stats": _TEXT_STATS_SQL,
+        "exact_dedup": _EXACT_DEDUP_SQL,
+        "jaccard_similar_pairs": _JACCARD_SQL,
+        "knn_brute": _KNN_SQL,
+        "cosine_near_dup_pairs": _COSINE_DUPS_SQL,
+        # minhash_dedup_groups / simhash_near_dups / fingerprints / knn_ivf /
+        # corpus_* are not SQL-expressible (LSH banding, rolling hashes,
+        # regex corpus extraction) -> rows-only checks; value-level oracles
+        # live in tests/ (FIXTURES.md §3).
+    }

@@ -19,6 +19,10 @@ Nothing in this package calls ray.init()/ray.shutdown(); the caller owns the
 Ray session (driver contract in __ray_entry__.py).
 """
 
+from networkit_ray import compat as _compat
+
+_compat.apply_patches()
+
 from networkit_ray.stages.graphops import (  # noqa: F401
     canonicalize_undirected,
     dedup_edges,

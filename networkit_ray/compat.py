@@ -1,0 +1,137 @@
+"""Compatibility patches for Ray Data 2.49.
+
+Upstream bug (ray._internal hash_shuffle, observed in 2.49.2): when a
+Dataset that contains empty blocks (e.g. the materialized output of a
+skewed hash join) feeds another join/shuffle, ``_shuffle_block`` early-
+returns on the empty block WITHOUT broadcasting its schema, while the
+operator already marked the sequence's schema as broadcast.  Aggregators
+whose partition stays empty then hold 0-column tables and
+``pyarrow.Table.join`` fails with:
+
+    ArrowInvalid: No match or multiple matches for key field reference
+    FieldRef.Name(...)
+
+Reproduced with a star graph (all edges share one src => 3 of 4 join
+partitions empty) — see tests/test_pagerank.py::star50.
+
+Fix: when asked to broadcast schemas (``send_empty_blocks=True``) and the
+block is empty but has a schema, fan schema-carrying empty shards out to
+every aggregator (exactly what the non-empty path does for missing
+partitions) instead of early-returning.  Behavior for non-empty blocks is
+delegated to the original implementation, so this is a strict superset.
+"""
+
+from __future__ import annotations
+
+import ray
+
+_PATCHED = False
+
+
+def apply_patches() -> None:
+    global _PATCHED
+    if _PATCHED:
+        return
+    try:
+        import ray.data._internal.execution.operators.hash_shuffle as hs
+
+        original_fn = hs._shuffle_block._function
+
+        def _shuffle_block_fixed(
+            block,
+            input_index,
+            key_columns,
+            pool,
+            block_transformer=None,
+            send_empty_blocks=False,
+            override_partition_id=None,
+        ):
+            blk = block_transformer(block) if block_transformer is not None else block
+            blk = hs.TableBlockAccessor.try_convert_block_type(
+                blk, block_type=hs.BlockType.ARROW
+            )
+            if blk.num_rows == 0 and send_empty_blocks and blk.num_columns > 0:
+                stats = hs.BlockExecStats.builder()
+                pending = []
+                for pid in range(pool.num_partitions):
+                    shard = hs._create_empty_table(blk.schema)
+                    agg = pool.get_aggregator_for_partition(pid)
+                    pending.append(agg.submit.remote(input_index, pid, ray.put(shard)))
+                while pending:
+                    _, pending = ray.wait(
+                        pending, num_returns=len(pending), timeout=1
+                    )
+                meta = hs.BlockAccessor.for_block(blk).get_metadata(
+                    exec_stats=stats.build()
+                )
+                return meta, {}
+            return original_fn(
+                blk,
+                input_index,
+                key_columns,
+                pool,
+                None,
+                send_empty_blocks,
+                override_partition_id,
+            )
+
+        hs._shuffle_block = ray.remote(_shuffle_block_fixed)
+
+        # Second half of the fix: the operator marks a sequence's schema as
+        # broadcast as soon as its FIRST block is submitted — even when that
+        # block is a schema-less (0-column) empty produced by a prior skewed
+        # join, which can never broadcast anything.  Filter 0-column empties
+        # out of incoming bundles entirely (they carry no information);
+        # schema-ful empties pass through and broadcast via the patch above.
+        from ray.data._internal.execution.interfaces import RefBundle
+
+        orig_add = hs.HashShufflingOperatorBase._do_add_input_inner
+
+        def _patched_add(self, input_bundle, input_index):
+            refs = input_bundle.block_refs
+            metas = input_bundle.metadata
+            keep = []
+            for ref, meta in zip(refs, metas):
+                if meta.num_rows == 0:
+                    blk = ray.get(ref)
+                    if getattr(blk, "num_columns", 1) == 0:
+                        continue
+                keep.append((ref, meta))
+            if len(keep) != len(refs):
+                if not keep:
+                    return
+                input_bundle = RefBundle(
+                    tuple(keep),
+                    schema=input_bundle.schema,
+                    owns_blocks=input_bundle.owns_blocks,
+                )
+            return orig_add(self, input_bundle, input_index)
+
+        hs.HashShufflingOperatorBase._do_add_input_inner = _patched_add
+
+        # Last-resort guard: a join partition whose one side never received
+        # a schema (whole sequence degenerate) returns a 0-column empty
+        # instead of crashing pyarrow; downstream shuffles strip it.
+        import pyarrow as _pa
+
+        from ray.data._internal.execution.operators import join as join_op
+
+        orig_finalize = join_op.JoiningShuffleAggregation.finalize
+
+        def _patched_finalize(self, partition_id):
+            left = self._get_partition_builder(
+                input_seq_id=0, partition_id=partition_id
+            ).build()
+            right = self._get_partition_builder(
+                input_seq_id=1, partition_id=partition_id
+            ).build()
+            if left.num_columns == 0 or right.num_columns == 0:
+                return _pa.table({})
+            return orig_finalize(self, partition_id)
+
+        join_op.JoiningShuffleAggregation.finalize = _patched_finalize
+        _PATCHED = True
+    except Exception:  # pragma: no cover - future Ray versions
+        # If internals moved, leave Ray untouched; the library still works
+        # for non-degenerate partitionings.
+        pass

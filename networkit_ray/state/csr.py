@@ -72,7 +72,13 @@ class CSRPartition:
         self._vert_chunks.append(np.asarray(vids, dtype=np.int64))
 
     def finalize_graph(self):
-        """Build CSR + static per-target routing. Returns P out_vids arrays."""
+        """Group edges by destination partition; returns P out_vids arrays.
+
+        Ownership is only fixed in ``set_in_routes``: a vertex that appears
+        solely as a *destination* (sink) is owned by its hash partition,
+        which learns of it from the incoming route vid arrays — so no
+        explicit vertex table is required for correctness.
+        """
         if self._edge_chunks:
             t = pa.concat_tables(self._edge_chunks)
             src = _to_np(t["src"])
@@ -82,52 +88,49 @@ class CSRPartition:
             src = dst = np.empty(0, dtype=np.int64)
             w = np.empty(0, dtype=np.float64)
         self._edge_chunks = []
+        self._src = src
 
+        # static routing: group edges by destination partition
+        dpart = _part(dst, self.P)
+        self._route_raw = []  # per target t: (src_vids_t, w_t, out_idx_t, n_out)
+        out_vids_all = []
+        for t_id in range(self.P):
+            pos = np.flatnonzero(dpart == t_id)
+            out_vids, inv = np.unique(dst[pos], return_inverse=True)
+            self._route_raw.append((src[pos], w[pos], inv.astype(np.int64), len(out_vids)))
+            out_vids_all.append(out_vids)
+        if self.P == 1:
+            return out_vids_all[0]
+        return tuple(out_vids_all)
+
+    def set_in_routes(self, *vid_arrays):
+        """vid_arrays[s] = out_vids of source partition s destined here.
+
+        Fixes ownership (sources ∪ explicit vertices ∪ incoming sinks),
+        builds the CSR-side arrays and the static incoming index maps.
+        """
         vert_extra = (
             np.concatenate(self._vert_chunks)
             if self._vert_chunks
             else np.empty(0, dtype=np.int64)
         )
         self._vert_chunks = []
-        self.owned = np.unique(np.concatenate([src, vert_extra]))
-        n = len(self.owned)
+        incoming = [np.asarray(v, dtype=np.int64) for v in vid_arrays]
+        self.owned = np.unique(np.concatenate([self._src, vert_extra, *incoming]))
+        n = self.n_owned = len(self.owned)
 
-        src_local = np.searchsorted(self.owned, src)
-        order = np.argsort(src_local, kind="stable")
-        self.src_local = src_local[order].astype(np.int64)
-        dst_s = dst[order]
-        w_s = w[order]
+        src_local_all = np.searchsorted(self.owned, self._src)
         self.wdeg = np.zeros(n, dtype=np.float64)
-        np.add.at(self.wdeg, self.src_local, w_s)
+        self.route = []
+        for src_vids, w_t, out_idx, n_out in self._route_raw:
+            src_local = np.searchsorted(self.owned, src_vids).astype(np.int64)
+            self.route.append((src_local, w_t, out_idx, n_out))
+        for src_vids, w_t, _oi, _no in self._route_raw:
+            np.add.at(self.wdeg, np.searchsorted(self.owned, src_vids), w_t)
+        del self._src, src_local_all
+        self._route_raw = None
 
-        # static routing: group edges by destination partition
-        dpart = _part(dst_s, self.P)
-        self.route = []  # per target t: (edge_pos, edge_out_idx, out_vids)
-        out_vids_all = []
-        for t_id in range(self.P):
-            pos = np.flatnonzero(dpart == t_id)
-            dst_t = dst_s[pos]
-            out_vids, inv = np.unique(dst_t, return_inverse=True)
-            self.route.append(
-                (
-                    self.src_local[pos],
-                    w_s[pos],
-                    inv.astype(np.int64),
-                    len(out_vids),
-                )
-            )
-            out_vids_all.append(out_vids)
-        self.n_owned = n
-        if self.P == 1:
-            return out_vids_all[0]
-        return tuple(out_vids_all)
-
-    def set_in_routes(self, *vid_arrays):
-        """vid_arrays[s] = out_vids of source partition s destined here."""
-        self.in_idx = [
-            np.searchsorted(self.owned, np.asarray(v, dtype=np.int64))
-            for v in vid_arrays
-        ]
+        self.in_idx = [np.searchsorted(self.owned, v) for v in incoming]
         return self.n_owned
 
     def num_owned(self) -> int:
@@ -343,12 +346,24 @@ def _wire_routes(actors, P):
 
 
 class BSPGraph:
-    """A loaded, routed actor-pool graph ready to run iterative kernels."""
+    """A loaded, routed actor-pool graph ready to run iterative kernels.
 
-    def __init__(self, edges_ds, vertices_ds=None, num_partitions: int = 8):
+    ``actor_num_cpus`` sizes the per-partition CPU reservation: benchmarks
+    pin 1 CPU per partition (P ~= cluster CPUs); tests use a fractional
+    reservation so P actors + the Dataset feed stage co-schedule on small
+    ray.init(num_cpus=...) sessions without deadlocking.
+    """
+
+    def __init__(
+        self,
+        edges_ds,
+        vertices_ds=None,
+        num_partitions: int = 8,
+        actor_num_cpus: float = 0.25,
+    ):
         self.P = num_partitions
         self.actors = [
-            CSRPartition.options(num_cpus=1).remote(p, num_partitions)
+            CSRPartition.options(num_cpus=actor_num_cpus).remote(p, num_partitions)
             for p in range(num_partitions)
         ]
         _feed_actors(edges_ds, vertices_ds, self.actors, self.P)
@@ -499,8 +514,9 @@ def bsp_pagerank(
     num_partitions=8,
     checkpoint=None,
     stats=None,
+    actor_num_cpus=0.25,
 ):
-    g = BSPGraph(edges_ds, vertices_ds, num_partitions)
+    g = BSPGraph(edges_ds, vertices_ds, num_partitions, actor_num_cpus)
     try:
         return g.pagerank(
             damping=damping,

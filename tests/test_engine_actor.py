@@ -14,11 +14,25 @@ from tests.ref_pagerank import ref_pagerank
 from tests.ref_syncplp import ref_sync_plp
 
 
+def _verts_ds(G):
+    import pyarrow as pa
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table({"vid": np.array(sorted(int(v) for v in G.nodes), dtype=np.int64)})
+    )
+
+
 @pytest.mark.parametrize("name", ["karate", "er200", "multicomp", "ba300"])
 def test_actor_pagerank_vs_oracle(name, ray_session):
     G = fixture_graph(name)
     got_ds, iters = pagerank(
-        edges_dataset(G), tol=1e-10, max_iter=300, num_partitions=3, engine="actor"
+        edges_dataset(G),
+        _verts_ds(G),
+        tol=1e-10,
+        max_iter=300,
+        num_partitions=3,
+        engine="actor",
     )
     got = scores_to_dict(got_ds)
     edges = [
@@ -65,7 +79,7 @@ def test_actor_cc_hashmin(ray_session):
     for name in ("multicomp", "path100", "karate"):
         G = fixture_graph(name)
         got_ds, rounds = connected_components(
-            edges_dataset(G), num_partitions=3, engine="actor"
+            edges_dataset(G), _verts_ds(G), num_partitions=3, engine="actor"
         )
         got = {int(k): int(v) for k, v in scores_to_dict(got_ds).items()}
         want = {}

@@ -56,7 +56,10 @@ def test_pagerank_undirected_vs_networkx(ray_session):
 
     G = fixture_graph("karate")
     ds = symmetrize(canonicalize_undirected(edges_dataset(G), weight="one"))
-    got_ds, _ = pagerank(ds, tol=1e-12, max_iter=300, num_partitions=4)
+    # actor engine: undirected karate needs ~200 iterations for 1e-12 and the
+    # dataset engine pays Ray-job overhead per iteration; engine equivalence
+    # is separately asserted in test_engine_actor.py
+    got_ds, _ = pagerank(ds, tol=1e-12, max_iter=300, num_partitions=4, engine="actor")
     got = scores_to_dict(got_ds)
     want = _pagerank_python(G, alpha=0.85, tol=1e-12, max_iter=300)
     vids = sorted(want)
@@ -69,14 +72,14 @@ def test_pagerank_partition_invariance(ray_session):
     G = fixture_graph("er200")
     base = None
     for p in (1, 2, 8):
-        got_ds, _ = pagerank(edges_dataset(G), tol=1e-10, num_partitions=p)
+        got_ds, _ = pagerank(edges_dataset(G), fixed_iters=10, num_partitions=p)
         got = scores_to_dict(got_ds)
         if base is None:
             base = got
         else:
             vids = sorted(base)
             np.testing.assert_allclose(
-                [got[v] for v in vids], [base[v] for v in vids], atol=1e-9, rtol=0
+                [got[v] for v in vids], [base[v] for v in vids], atol=1e-12, rtol=0
             )
 
 
