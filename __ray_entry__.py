@@ -255,10 +255,13 @@ def q_corpus_extract(sf_dir):
 
     corpus = with_sha256(corpus_dataset(num_repos=100, seed=42, parallelism=4))
     ek = extract_edges(corpus, level="repo")
-    return (
-        ek.groupby(["src_key", "dst_key"], num_partitions=P)
-        .count()
-        .rename_columns({"count()": "n"})
+    counted = ek.groupby(["src_key", "dst_key"], num_partitions=P).count()
+    return counted.map_batches(
+        lambda t: pa.table(
+            {"src_key": t["src_key"], "dst_key": t["dst_key"], "n": t["count()"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
 
@@ -276,8 +279,15 @@ def q_corpus_pagerank(sf_dir):
     edges = dedup_edges(edge_keys_to_edges(ek), weight="sum")
     verts = vertex_table(ek)
     scores, _ = pagerank(edges, verts, fixed_iters=PR_ITERS, num_partitions=P, engine="actor")
-    out = scores.join(verts, join_type="inner", num_partitions=P, on=("vid",))
-    return _round6(out.select_columns(["key", "score"]), "score")
+    out = scores.join(
+        verts.materialize(), join_type="inner", num_partitions=P, on=("vid",)
+    ).map_batches(
+        # explicit projection: Ray 2.49 mis-plans Projects on join outputs
+        lambda t: pa.table({"key": t["key"], "score": t["score"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return _round6(out, "score")
 
 
 def entry() -> Any:

@@ -109,27 +109,13 @@ def apply_patches() -> None:
 
         hs.HashShufflingOperatorBase._do_add_input_inner = _patched_add
 
-        # Last-resort guard: a join partition whose one side never received
-        # a schema (whole sequence degenerate) returns a 0-column empty
-        # instead of crashing pyarrow; downstream shuffles strip it.
-        import pyarrow as _pa
-
-        from ray.data._internal.execution.operators import join as join_op
-
-        orig_finalize = join_op.JoiningShuffleAggregation.finalize
-
-        def _patched_finalize(self, partition_id):
-            left = self._get_partition_builder(
-                input_seq_id=0, partition_id=partition_id
-            ).build()
-            right = self._get_partition_builder(
-                input_seq_id=1, partition_id=partition_id
-            ).build()
-            if left.num_columns == 0 or right.num_columns == 0:
-                return _pa.table({})
-            return orig_finalize(self, partition_id)
-
-        join_op.JoiningShuffleAggregation.finalize = _patched_finalize
+        # NOTE: JoiningShuffleAggregation.finalize runs inside the shuffle
+        # aggregator ACTORS (worker processes re-import pristine ray
+        # modules), so it cannot be monkeypatched from the driver.  The one
+        # case the two driver-side patches above cannot cover — a join
+        # input sequence that is *entirely* empty (no schema to broadcast
+        # at all) — is therefore guarded at the call sites instead (see
+        # `_empty_side_guard` docstrings in pipelines/*).
         _PATCHED = True
     except Exception:  # pragma: no cover - future Ray versions
         # If internals moved, leave Ray untouched; the library still works

@@ -35,8 +35,11 @@ class ArgMaxWMinLabel(AggregateFnV2):
     ):
         self._w_col = w_col
         self._label_col = label_col
+        # on=None: aggregate over whole rows — declaring a single target
+        # column would let Ray project away the label column before
+        # aggregate_block sees it
         super().__init__(
-            alias_name, zero_factory=lambda: None, on=w_col, ignore_nulls=True
+            alias_name, zero_factory=lambda: None, on=None, ignore_nulls=True
         )
 
     def aggregate_block(self, block: Block):

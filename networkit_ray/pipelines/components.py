@@ -73,6 +73,9 @@ def _cc_hashmin(canon, vertices_ds, num_partitions, max_iter):
         zero_copy_batch=True,
     ).materialize()
 
+    if sym.count() == 0:
+        return labels, 1
+
     def _msg(t: pa.Table) -> pa.Table:
         out = pa.table({"vid": t["dst"], "m": t["label"]})
         return out.group_by("vid").aggregate([("m", "min")]).rename_columns(
@@ -142,18 +145,20 @@ def _cc_unionfind(canon, vertices_ds, num_partitions, driver_pair_limit):
     )
     rounds = 1
     count = pairs.count()
-    # contraction rounds: co-locate pairs by src-hash, re-run local UF
+    # contraction rounds: co-locate pairs, re-run local UF.  Stop when the
+    # pair set stops shrinking — a fully contracted forest has ~(n - #comp)
+    # pairs and cannot shrink further; driver_pair_limit is the threshold
+    # for triggering extra rounds, not a hard cap (the contracted set is
+    # the per-vertex root map and must reach the reducer regardless).
     while count > driver_pair_limit and rounds < 6:
-        pairs = pairs.repartition(num_partitions, shuffle=True).map_batches(
+        new_pairs = pairs.repartition(num_partitions, shuffle=True).map_batches(
             _local_forest, batch_format="pyarrow", zero_copy_batch=True
-        )
+        ).materialize()
         rounds += 1
-        count = pairs.count()
-    if count > driver_pair_limit:
-        raise RuntimeError(
-            f"union-find contraction did not converge below {driver_pair_limit} "
-            f"pairs (still {count}); use mode='hashmin'"
-        )
+        new_count = new_pairs.count()
+        if new_count >= count:
+            break
+        pairs, count = new_pairs, new_count
 
     # final reducer: one union-find over the contracted equivalence set
     uf = UnionFind()

@@ -140,6 +140,7 @@ def minhash_band_rows(docs_ds, num_perm=64, bands=16, k=3, seed=42, concurrency=
         fn_constructor_kwargs={"num_perm": num_perm, "k": k, "seed": seed},
         batch_format="pandas",
         concurrency=concurrency or 4,
+        num_cpus=0.5,
     )
 
 
@@ -184,23 +185,45 @@ def minhash_dedup_groups(
     duplicate map to themselves.
     """
     band_rows = minhash_band_rows(docs_ds, num_perm, bands, k, seed)
-    cands = candidate_pairs(band_rows, num_partitions)
+    cands = candidate_pairs(band_rows, num_partitions).materialize()
 
-    texts = docs_ds.select_columns(["doc_id", "text"])
+    def _self_groups(t):
+        return pa.table({"doc_id": t["doc_id"], "dup_group": t["doc_id"]})
+
+    if cands.count() == 0:
+        # no LSH candidates at all: every doc is its own group (an
+        # entirely-empty join side crashes Ray 2.49 shuffles — compat.py)
+        return docs_ds.select_columns(["doc_id"]).map_batches(
+            _self_groups, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    texts = docs_ds.select_columns(["doc_id", "text"]).materialize()
+    # explicit projections between chained joins (Ray 2.49 mis-plans
+    # rename/select Projects on unmaterialized join outputs — compat.py)
     j1 = cands.join(
         texts,
         join_type="inner",
         num_partitions=num_partitions,
         on=("a",),
         right_on=("doc_id",),
-    ).rename_columns({"text": "text_a"})
+    ).map_batches(
+        lambda t: pa.table({"a": t["a"], "b": t["b"], "text_a": t["text"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     j2 = j1.join(
         texts,
         join_type="inner",
         num_partitions=num_partitions,
         on=("b",),
         right_on=("doc_id",),
-    ).rename_columns({"text": "text_b"})
+    ).map_batches(
+        lambda t: pa.table(
+            {"a": t["a"], "b": t["b"], "text_a": t["text_a"], "text_b": t["text"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         keep_a, keep_b, jac = [], [], []
@@ -254,12 +277,16 @@ def minhash_dedup_groups(
 def simhash64(text: str) -> int:
     """Charikar simhash over word features (blake2b-8byte feature hashes)."""
     acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    one = np.uint64(1)
     for tok in (text or "").split():
-        h = int.from_bytes(
-            hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+        h = np.uint64(
+            int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+            )
         )
-        bits = (h >> np.arange(64)) & 1
-        acc += np.where(bits == 1, 1, -1)
+        bits = (h >> shifts) & one
+        acc += np.where(bits == one, 1, -1)
     out = 0
     for i in range(64):
         if acc[i] > 0:
@@ -392,4 +419,5 @@ def jaccard_similar_pairs(docs_ds, threshold=0.5, num_partitions=8):
         fn_constructor_kwargs={"ref": ref, "threshold": threshold},
         batch_format="pandas",
         concurrency=4,
+        num_cpus=0.5,
     )

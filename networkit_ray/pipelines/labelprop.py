@@ -69,6 +69,10 @@ def label_propagation(
         .materialize()
     )
 
+    if sym.count() == 0:
+        # edgeless graph: every vertex keeps its own label (fixpoint)
+        return labels, (fixed_iters or 1)
+
     def _tally(t: pa.Table) -> pa.Table:
         out = pa.table({"vid": t["dst"], "label": t["label"], "w": t["w"]})
         return (

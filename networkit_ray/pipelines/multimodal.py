@@ -101,6 +101,7 @@ def decode_features(media_ds, mode: str = "fake", concurrency: int = 2, batch_si
         zero_copy_batch=True,
         batch_size=batch_size,
         concurrency=concurrency,
+        num_cpus=0.5,
     )
 
 
@@ -143,6 +144,7 @@ def sample_frames(media_ds, every: int = 10, concurrency: int = 2, batch_size: i
         zero_copy_batch=True,
         batch_size=batch_size,
         concurrency=concurrency,
+        num_cpus=0.5,
     )
 
 

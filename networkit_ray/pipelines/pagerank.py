@@ -71,6 +71,17 @@ def _pagerank_dataset(
 ):
     if vertices_ds is None:
         vertices_ds = vertices_from_edges(edges_ds)
+    vertices_ds = vertices_ds.materialize()
+    if vertices_ds.count() == 0:
+        import ray.data
+
+        empty = pa.table(
+            {
+                "vid": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+        return ray.data.from_arrow(empty), 0
 
     # static: per-vertex weighted out-degree (0 for dangling/sink vertices)
     deg = out_degrees(edges_ds).select_columns(["vid", "w_out_deg"])
@@ -117,6 +128,21 @@ def _pagerank_dataset(
         )
         .materialize()
     )
+
+    if edges_norm.count() == 0:
+        # edgeless graph: uniform scores are the fixpoint immediately (and
+        # a join against an entirely-empty side crashes Ray 2.49 shuffles)
+        init = 1.0 / n
+        return (
+            verts.map_batches(
+                lambda t: pa.table(
+                    {"vid": t["vid"], "score": pa.array(np.full(t.num_rows, init))}
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            1,
+        )
 
     init = 1.0 / n
     scores = verts.map_batches(

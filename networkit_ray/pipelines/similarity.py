@@ -84,7 +84,7 @@ def knn_brute(emb_ds, queries_ds, k=10, id_col="vec_id", col="embedding"):
             return pa.concat_tables(rows)
 
     local_topk = emb_ds.map_batches(
-        Score, batch_format="pyarrow", zero_copy_batch=True, concurrency=4
+        Score, batch_format="pyarrow", zero_copy_batch=True, concurrency=4, num_cpus=0.5
     )
 
     def final_topk(df: pd.DataFrame) -> pd.DataFrame:
@@ -158,7 +158,7 @@ def knn_ivf(
             return pa.concat_tables(out)
 
     local = emb_ds.map_batches(
-        Score, batch_format="pyarrow", zero_copy_batch=True, concurrency=4
+        Score, batch_format="pyarrow", zero_copy_batch=True, concurrency=4, num_cpus=0.5
     )
 
     def final_topk(df: pd.DataFrame) -> pd.DataFrame:
@@ -199,5 +199,5 @@ def cosine_near_dup_pairs(emb_ds, threshold=0.95, id_col="vec_id", col="embeddin
             )
 
     return emb_ds.map_batches(
-        Pairs, batch_format="pyarrow", zero_copy_batch=True, concurrency=4
+        Pairs, batch_format="pyarrow", zero_copy_batch=True, concurrency=4, num_cpus=0.5
     )

@@ -84,7 +84,7 @@ class TextStats:
 def text_stats(docs_ds, concurrency: int = 4):
     """documents -> per-doc stats (stateful actor pool)."""
     return docs_ds.map_batches(
-        TextStats, batch_format="pandas", concurrency=concurrency
+        TextStats, batch_format="pandas", concurrency=concurrency, num_cpus=0.5
     )
 
 
@@ -146,5 +146,5 @@ class Fingerprint:
 
 def fingerprints(docs_ds, concurrency: int = 4):
     return docs_ds.map_batches(
-        Fingerprint, batch_format="pandas", concurrency=concurrency
+        Fingerprint, batch_format="pandas", concurrency=concurrency, num_cpus=0.5
     )

@@ -32,13 +32,25 @@ from networkit_ray.stages.graphops import (
 
 def triangle_counts(edges_ds, vertices_ds=None, num_partitions: int = 8):
     """edges(src,dst,w) [+ vertices(vid)] -> Dataset(vid, triangles)."""
-    canon = canonicalize_undirected(edges_ds, weight="one")
+    # materialized: reused by three consumers (degree pipeline, orientation
+    # join left side, symmetrize) — also keeps the two join inputs from
+    # sharing an unmaterialized subtree, which Ray 2.49's hash-shuffle
+    # handles unreliably under load (see compat.py)
+    canon = canonicalize_undirected(edges_ds, weight="one").materialize()
     if vertices_ds is None:
         vertices_ds = vertices_from_edges(edges_ds)
 
     sym = symmetrize(canon)
-    deg = out_degrees(sym, weighted=False).select_columns(["vid", "out_deg"])
+    deg = (
+        out_degrees(sym, weighted=False)
+        .select_columns(["vid", "out_deg"])
+        .materialize()  # right side of two joins
+    )
 
+    # NOTE: explicit map_batches projections (not rename_columns/select)
+    # between chained joins — Ray 2.49 mis-plans a Project placed directly
+    # on an unmaterialized join output (the rename silently vanishes and
+    # pyarrow later sees duplicate column names)
     e = (
         canon.select_columns(["src", "dst"])
         .join(
@@ -48,7 +60,13 @@ def triangle_counts(edges_ds, vertices_ds=None, num_partitions: int = 8):
             on=("src",),
             right_on=("vid",),
         )
-        .rename_columns({"out_deg": "deg_src"})
+        .map_batches(
+            lambda t: pa.table(
+                {"src": t["src"], "dst": t["dst"], "deg_src": t["out_deg"]}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
         .join(
             deg,
             join_type="inner",
@@ -56,7 +74,18 @@ def triangle_counts(edges_ds, vertices_ds=None, num_partitions: int = 8):
             on=("dst",),
             right_on=("vid",),
         )
-        .rename_columns({"out_deg": "deg_dst"})
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t["src"],
+                    "dst": t["dst"],
+                    "deg_src": t["deg_src"],
+                    "deg_dst": t["out_deg"],
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     )
 
     def orient(t: pa.Table) -> pa.Table:
@@ -118,7 +147,18 @@ def triangle_counts(edges_ds, vertices_ds=None, num_partitions: int = 8):
         closed.map_batches(corners, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("vid", num_partitions=num_partitions)
         .aggregate(Sum("t", alias_name="t"))
+        .materialize()
     )
+
+    zeros = lambda t: pa.table(  # noqa: E731
+        {"vid": t["vid"], "triangles": np.zeros(t.num_rows, dtype=np.int64)}
+    )
+    if counts.count() == 0:
+        # triangle-free graph: a join against an entirely-empty side has no
+        # schema to shuffle (Ray 2.49 crashes on it — compat.py); emit zeros
+        return vertices_ds.select_columns(["vid"]).map_batches(
+            zeros, batch_format="pyarrow", zero_copy_batch=True
+        )
 
     return (
         vertices_ds.select_columns(["vid"])

@@ -23,8 +23,21 @@ def nx_cc_labels(G):
     return out
 
 
-@pytest.mark.parametrize("mode", ["hashmin", "unionfind"])
-@pytest.mark.parametrize("name", ["karate", "multicomp", "path100", "er200"])
+# hash-min needs O(diameter) Dataset rounds; keep the long-diameter fixture
+# (path100) on the unionfind mode here — the actor engine covers hash-min on
+# path100 in test_engine_actor.py at ~ms/round.
+@pytest.mark.parametrize(
+    "name,mode",
+    [
+        ("karate", "hashmin"),
+        ("karate", "unionfind"),
+        ("multicomp", "hashmin"),
+        ("multicomp", "unionfind"),
+        ("er200", "hashmin"),
+        ("er200", "unionfind"),
+        ("path100", "unionfind"),
+    ],
+)
 def test_cc_exact(name, mode, ray_session):
     G = fixture_graph(name)
     got_ds, rounds = connected_components(edges_dataset(G), mode=mode)

@@ -11,10 +11,16 @@ from tests.ref_syncplp import ref_sync_plp
 
 
 def _run(name, fixed_iters=None, num_partitions=4):
+    import pyarrow as pa
+    import ray.data
+
     G = fixture_graph(name)
     ds = edges_dataset(G)
+    verts = ray.data.from_arrow(
+        pa.table({"vid": np.array(sorted(int(v) for v in G.nodes), dtype=np.int64)})
+    )
     got_ds, rounds = label_propagation(
-        ds, fixed_iters=fixed_iters, max_iter=30, num_partitions=num_partitions
+        ds, verts, fixed_iters=fixed_iters, max_iter=30, num_partitions=num_partitions
     )
     got = {int(k): int(v) for k, v in scores_to_dict(got_ds).items()}
     edges = [(int(u), int(v), float(d.get("weight", 1.0))) for u, v, d in G.edges(data=True)]
@@ -26,8 +32,19 @@ def _run(name, fixed_iters=None, num_partitions=4):
 
 # NOTE: sync PLP on e.g. bipartite-ish structures can 2-cycle and never hit a
 # fixpoint; fixed_iters keeps engine and oracle in lockstep for exactness.
-@pytest.mark.parametrize("name", ["karate", "multicomp", "star50", "er200"])
-@pytest.mark.parametrize("fixed_iters", [1, 3, 7])
+# (kept small: each Dataset-engine round costs ~2 Ray jobs; the actor engine
+# runs the deeper sweeps in test_engine_actor.py)
+@pytest.mark.parametrize(
+    "name,fixed_iters",
+    [
+        ("karate", 1),
+        ("karate", 3),
+        ("karate", 7),
+        ("multicomp", 3),
+        ("star50", 2),
+        ("er200", 3),
+    ],
+)
 def test_sync_plp_exact_fixed_rounds(name, fixed_iters, ray_session):
     got, want, rounds, _ = _run(name, fixed_iters=fixed_iters)
     assert rounds == fixed_iters
