@@ -55,7 +55,9 @@ def test_pagerank_undirected_vs_networkx(ray_session):
     from networkit_ray.stages.graphops import symmetrize, canonicalize_undirected
 
     G = fixture_graph("karate")
-    ds = symmetrize(canonicalize_undirected(edges_dataset(G), weight="one"))
+    # weight="sum" keeps the karate edge weights, matching networkx's
+    # default weight="weight" semantics
+    ds = symmetrize(canonicalize_undirected(edges_dataset(G), weight="sum"))
     # actor engine: undirected karate needs ~200 iterations for 1e-12 and the
     # dataset engine pays Ray-job overhead per iteration; engine equivalence
     # is separately asserted in test_engine_actor.py
