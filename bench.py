@@ -140,42 +140,26 @@ def run_headline():
     labels.count()
     q["label_propagation"] = time.perf_counter() - t0
 
-    # triangles: supplier co-part graph restricted to parts held by <= 8
-    # suppliers (keeps the projection sparse; the full co-part graph at
-    # sf0.1 is near-complete and triangle counting it measures nothing)
+    # triangles + extraction: the north-star corpus pipeline (the supplier
+    # co-part projection of TPC-H is near-complete at sf0.1 — counting its
+    # triangles measures nothing).  Corpus generation + sha256 + regex
+    # extraction + hashed ids + dedup is itself a headline stage.
+    from networkit_ray.sources.corpus import corpus_dataset
+    from networkit_ray.stages.extract import extract_edges
+    from networkit_ray.stages.graphops import dedup_edges
+    from networkit_ray.stages.ids import edge_keys_to_edges
+    from networkit_ray.stages.sha256 import with_sha256
+
     t0 = time.perf_counter()
-    ps = (
-        read_table(SF_DIR, "lineitem", columns=["l_partkey", "l_suppkey"])
-        .groupby("l_partkey", num_partitions=P)
-        .map_groups(
-            lambda df: df.drop_duplicates()
-            if df["l_suppkey"].nunique() <= 8
-            else df.head(0),
-            batch_format="pandas",
-        )
-    )
-    pairs = ps.join(
-        ps, join_type="inner", num_partitions=P, on=("l_partkey",),
-        left_suffix="_a", right_suffix="_b",
-    )
+    corpus = with_sha256(corpus_dataset(num_repos=2000, seed=42, parallelism=P))
+    repo_edges = dedup_edges(
+        edge_keys_to_edges(extract_edges(corpus, level="repo")), weight="sum"
+    ).materialize()
+    q["corpus_extract_build"] = time.perf_counter() - t0
+    extra["corpus_edges"] = repo_edges.count()
 
-    def mk(t: pa.Table) -> pa.Table:
-        a = t["l_suppkey_a"].combine_chunks().to_numpy(zero_copy_only=False)
-        b = t["l_suppkey_b"].combine_chunks().to_numpy(zero_copy_only=False)
-        keep = a < b
-        out = pa.table(
-            {
-                "src": a[keep].astype(np.int64),
-                "dst": b[keep].astype(np.int64),
-                "w": np.ones(int(keep.sum()), dtype=np.float64),
-            }
-        )
-        return out.group_by(["src", "dst"]).aggregate([("w", "max")]).rename_columns(
-            ["src", "dst", "w"]
-        )
-
-    sup_edges = pairs.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
-    tri = triangle_counts(sup_edges, num_partitions=P)
+    t0 = time.perf_counter()
+    tri = triangle_counts(repo_edges, num_partitions=P)
     tri.count()
     q["triangle_counts"] = time.perf_counter() - t0
 

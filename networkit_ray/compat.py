@@ -90,11 +90,21 @@ def apply_patches() -> None:
         def _patched_add(self, input_bundle, input_index):
             refs = input_bundle.block_refs
             metas = input_bundle.metadata
+            import pyarrow as _pa
+
             keep = []
             for ref, meta in zip(refs, metas):
                 if meta.num_rows == 0:
                     blk = ray.get(ref)
-                    if getattr(blk, "num_columns", 1) == 0:
+                    ncols = getattr(blk, "num_columns", 1)
+                    if ncols == 0:
+                        continue
+                    # empty pandas map_groups outputs arrive as null-typed
+                    # Arrow columns; they poison join keys ("Data type null
+                    # is not supported in join key field") and carry no info
+                    if hasattr(blk, "schema") and all(
+                        _pa.types.is_null(f.type) for f in blk.schema
+                    ):
                         continue
                 keep.append((ref, meta))
             if len(keep) != len(refs):

@@ -65,19 +65,34 @@ def exact_dedup(docs_ds, id_col="doc_id", text_col="text", num_partitions=8):
 # ---- MinHash + LSH --------------------------------------------------------
 
 
+_SH_C1 = np.uint64(0x9E3779B97F4A7C15)
+_SH_C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    """Deterministic 64-bit token hashes, vectorized (pandas siphash —
+    fixed key, stable across runs/processes unlike Python's hash())."""
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(toks, dtype=object))
+
+
 def _shingles(text: str, k: int = 3) -> np.ndarray:
-    """Word k-gram shingle hashes (blake2b-8byte, stable across runs)."""
-    toks = (text or "").split()
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else [""]
-    else:
-        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(g.encode(), digest_size=8).digest(), "big"
-        )
-    return np.unique(out)
+    """Word k-gram shingle hashes — vectorized rolling combination of
+    per-token hashes (one C-speed hash pass, no per-gram Python)."""
+    th = _token_hashes((text or "").split())
+    n = len(th)
+    if n == 0:
+        return np.zeros(1, dtype=np.uint64)
+    if n < k:
+        h = np.uint64(0)
+        for i in range(n):
+            h = h * _SH_C1 + th[i]
+        return np.array([h], dtype=np.uint64)
+    acc = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):  # k tiny (3): vectorized over all positions
+        acc = acc * _SH_C1 + th[j : n - k + 1 + j] * _SH_C2
+    return np.unique(acc)
 
 
 def _perm_params(num_perm: int, seed: int = 42):
@@ -275,23 +290,18 @@ def minhash_dedup_groups(
 
 
 def simhash64(text: str) -> int:
-    """Charikar simhash over word features (blake2b-8byte feature hashes)."""
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    one = np.uint64(1)
-    for tok in (text or "").split():
-        h = np.uint64(
-            int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-            )
-        )
-        bits = (h >> shifts) & one
-        acc += np.where(bits == one, 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    """Charikar simhash over word features — fully vectorized: one hash
+    pass over tokens, one (n_tokens x 64) bit unpack, one column sum."""
+    th = _token_hashes((text or "").split())
+    if len(th) == 0:
+        return 0
+    bits = (th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    out = np.uint64(0)
+    pos = np.flatnonzero(acc > 0)
+    for i in pos:
+        out |= np.uint64(1) << np.uint64(i)
+    return int(out)
 
 
 def simhash_signatures(docs_ds):

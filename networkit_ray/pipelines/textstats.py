@@ -94,21 +94,28 @@ FP_K = 5  # k-gram (in tokens)
 FP_W = 4  # window size
 
 
+_KG_C1 = np.uint64(0x9E3779B97F4A7C15)
+_KG_C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
 def _kgram_hashes(tokens: list[str], k: int) -> np.ndarray:
-    if len(tokens) < k:
-        joined = " ".join(tokens)
-        return np.array(
-            [int.from_bytes(hashlib.blake2b(joined.encode(), digest_size=8).digest(), "big") >> 1],
-            dtype=np.int64,
-        )
-    out = np.empty(len(tokens) - k + 1, dtype=np.int64)
-    for i in range(len(out)):
-        g = " ".join(tokens[i : i + k])
-        out[i] = (
-            int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
-            >> 1
-        )
-    return out
+    """Rolling k-gram hashes from vectorized per-token hashes (pandas
+    siphash — deterministic across processes), masked to int63."""
+    import pandas as pd
+
+    if not tokens:
+        return np.zeros(1, dtype=np.int64)
+    th = pd.util.hash_array(np.asarray(tokens, dtype=object))
+    n = len(th)
+    if n < k:
+        h = np.uint64(0)
+        for i in range(n):
+            h = h * _KG_C1 + th[i]
+        return np.array([h >> np.uint64(1)], dtype=np.int64)
+    acc = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * _KG_C1 + th[j : n - k + 1 + j] * _KG_C2
+    return (acc >> np.uint64(1)).astype(np.int64)
 
 
 def winnow_fingerprint(text: str, k: int = FP_K, w: int = FP_W) -> list[int]:
