@@ -159,23 +159,37 @@ def minhash_band_rows(docs_ds, num_perm=64, bands=16, k=3, seed=42, concurrency=
     )
 
 
-def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-    ids = np.sort(df["doc_id"].to_numpy(np.int64))
-    if len(ids) < 2:
-        return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-    # all pairs within the bucket (buckets are small by construction; a
-    # crowded bucket means near-identical docs -> pairs are real work)
-    ai, bi = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
-
-
 def candidate_pairs(band_rows_ds, num_partitions=8):
-    """LSH bucket groupby -> deduplicated candidate (a, b) pairs."""
-    pairs = band_rows_ds.groupby(
-        ["band", "band_hash"], num_partitions=num_partitions
-    ).map_groups(_bucket_pairs, batch_format="pandas")
-    # dedup pairs discovered in multiple bands
-    return pairs.groupby(["a", "b"], num_partitions=num_partitions).count().select_columns(["a", "b"])
+    """LSH bucket pairs via self-join on (band, band_hash) — vectorized.
+
+    A groupby().map_groups over the buckets costs per-group Python overhead
+    on ~#docs x bands mostly-singleton groups; the hash self-join emits the
+    same within-bucket pairs in one vectorized exchange.  Pairs found in
+    multiple bands are deduped by a pre-combined groupby.
+    """
+    band_rows_ds = band_rows_ds.materialize()  # self-join on shared lineage
+    joined = band_rows_ds.join(
+        band_rows_ds,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("band", "band_hash"),
+        left_suffix="_l",
+        right_suffix="_r",
+    )
+
+    def mk_pairs(t: pa.Table) -> pa.Table:
+        a = t["doc_id_l"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["doc_id_r"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = a < b
+        out = pa.table({"a": a[keep], "b": b[keep]})
+        return out.group_by(["a", "b"]).aggregate([])  # local pre-dedup
+
+    pairs = joined.map_batches(mk_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        pairs.groupby(["a", "b"], num_partitions=num_partitions)
+        .count()
+        .select_columns(["a", "b"])
+    )
 
 
 def _jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
