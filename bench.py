@@ -31,7 +31,8 @@ import pyarrow as pa
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-SCALE_COPIES = int(os.environ.get("GRAFT_SCALE_COPIES", "48"))
+SCALE_COPIES = int(os.environ.get("GRAFT_SCALE_COPIES", "192"))
+SCALE_P = int(os.environ.get("GRAFT_SCALE_P", "8"))
 COPY_OFFSET = 100_000_000
 
 
@@ -75,20 +76,32 @@ def _scaled_edges(num_partitions):
 
 
 def bench_pagerank_scaled(P):
-    from networkit_ray.pipelines.pagerank import pagerank
+    """Scaled PageRank: base edge table (from the sf input) replicated
+    SCALE_COPIES times with disjoint vid offsets, ingested actor-locally.
+    The job (P partitions) is FIXED; only the cluster CPU count varies
+    between the two --scaling runs (the N vs 4N criterion)."""
+    import ray
 
-    stats = {}
+    from networkit_ray.state.csr import BSPGraph
+
+    base = _edges(min(4, P)).materialize()
+    base_tbl = pa.concat_tables(ray.get(base.to_arrow_refs()))
+    stats: dict = {}
     t0 = time.perf_counter()
-    scores, iters = pagerank(
-        _scaled_edges(P),
-        tol=1e-10,
-        max_iter=60,
-        num_partitions=P,
-        engine="actor",
+    g = BSPGraph.from_replicated(
+        base_tbl, SCALE_COPIES, COPY_OFFSET, P, actor_num_cpus=0.1
     )
-    n = scores.count()
+    stats["build_s"] = round(time.perf_counter() - t0, 3)
+    try:
+        scores, iters = g.pagerank(tol=1e-10, max_iter=60, stats=stats)
+        t1 = time.perf_counter()
+        n = scores.count()
+        stats["collect_s"] = round(time.perf_counter() - t1, 3)
+    finally:
+        g.shutdown()
     wall = time.perf_counter() - t0
-    return wall, iters, n
+    iter_wall = sum(stats.get("iter_wall_s", [])) or wall
+    return wall, iter_wall, iters, n, base_tbl.num_rows, stats
 
 
 def run_headline():
@@ -195,23 +208,37 @@ def run_headline():
 
 
 def run_scale_probe():
-    """Single scaled-PageRank run; prints one JSON line (used by --scaling)."""
+    """Single scaled-PageRank run; prints one JSON line (used by --scaling).
+
+    Pins the process (and every Ray worker forked under it) to NUM_CPUS
+    physical cores: ray.init(num_cpus=N) alone only bounds the scheduler's
+    bookkeeping, not OS parallelism, so without affinity the "small
+    cluster" run would still use every core and the comparison would be
+    meaningless.
+    """
+    try:
+        os.sched_setaffinity(0, set(range(NUM_CPUS)))
+    except (AttributeError, OSError):
+        pass
     _init_ray()
     import ray
 
-    P = min(32, max(4, NUM_CPUS))
-    wall, iters, n = bench_pagerank_scaled(P)
-    # steady-state throughput excludes graph build: time per iteration from
-    # the BSP loop only
+    P = SCALE_P
+    wall, iter_wall, iters, n, base_edges, st = bench_pagerank_scaled(P)
     print(
         json.dumps(
             {
                 "metric": "scaled pagerank",
                 "value": round(wall, 3),
                 "unit": "sec",
+                "iter_wall_s": round(iter_wall, 3),
                 "iters": iters,
                 "vertices": n,
+                "build_s": st.get("build_s"),
+                "collect_s": st.get("collect_s"),
+                "edges": base_edges * SCALE_COPIES,
                 "num_cpus": NUM_CPUS,
+                "partitions": P,
                 "copies": SCALE_COPIES,
             }
         )
@@ -236,21 +263,30 @@ def run_scaling():
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("GRAFT_SCALE_CPUS_LO", "2"))
+    hi = int(os.environ.get("GRAFT_SCALE_CPUS_HI", "8"))
     r_lo = run(lo)
     r_hi = run(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
-    eff = (t_lo / t_hi) / (hi / lo)
+    # steady-state criterion (BASELINE.md): per-iteration throughput ratio,
+    # graph build reported separately via total wall
+    eff_iter = (r_lo["iter_wall_s"] / r_hi["iter_wall_s"]) / (hi / lo)
+    eff_total = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency (8 vs 32 cpus, scaled pagerank)",
-                "sec_8": t_lo,
-                "sec_32": t_hi,
+                "metric": f"scaling efficiency ({lo} vs {hi} cpus, fixed P={SCALE_P} scaled pagerank)",
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                "sec_lo": r_lo["value"],
+                "sec_hi": r_hi["value"],
+                "iter_sec_lo": r_lo["iter_wall_s"],
+                "iter_sec_hi": r_hi["iter_wall_s"],
+                "edges": r_lo.get("edges"),
                 "iters": r_lo["iters"],
                 "copies": SCALE_COPIES,
-                "scaling_efficiency": round(eff, 3),
-                "pass": eff >= 0.8,
+                "scaling_efficiency": round(eff_iter, 3),
+                "scaling_efficiency_total": round(eff_total, 3),
+                "pass": eff_iter >= 0.8,
             }
         )
     )

@@ -71,6 +71,24 @@ class CSRPartition:
     def add_vertices(self, vids: np.ndarray):
         self._vert_chunks.append(np.asarray(vids, dtype=np.int64))
 
+    def ingest_replicated(self, base: pa.Table, copies: int, offset: int):
+        """Generate this partition's slice of the K-times-replicated base
+        edge table locally (offset is a multiple of P, so the partition
+        mask is computed once on the base and reused per copy).  Avoids
+        pushing K x |base| rows through the object store during build —
+        the scaled-bench ingest path."""
+        src = _to_np(base["src"])
+        dst = _to_np(base["dst"])
+        w = _to_np(base["w"]).astype(np.float64)
+        assert offset % self.P == 0
+        mask = _part(src, self.P) == self.pid
+        s0, d0, w0 = src[mask], dst[mask], w[mask]
+        for k in range(copies):
+            off = np.int64(k) * np.int64(offset)
+            self._edge_chunks.append(
+                pa.table({"src": s0 + off, "dst": d0 + off, "w": w0})
+            )
+
     def finalize_graph(self):
         """Group edges by destination partition; returns P out_vids arrays.
 
@@ -119,15 +137,13 @@ class CSRPartition:
         self.owned = np.unique(np.concatenate([self._src, vert_extra, *incoming]))
         n = self.n_owned = len(self.owned)
 
-        src_local_all = np.searchsorted(self.owned, self._src)
         self.wdeg = np.zeros(n, dtype=np.float64)
         self.route = []
         for src_vids, w_t, out_idx, n_out in self._route_raw:
             src_local = np.searchsorted(self.owned, src_vids).astype(np.int64)
             self.route.append((src_local, w_t, out_idx, n_out))
-        for src_vids, w_t, _oi, _no in self._route_raw:
-            np.add.at(self.wdeg, np.searchsorted(self.owned, src_vids), w_t)
-        del self._src, src_local_all
+            np.add.at(self.wdeg, src_local, w_t)
+        del self._src
         self._route_raw = None
 
         self.in_idx = [np.searchsorted(self.owned, v) for v in incoming]
@@ -143,7 +159,11 @@ class CSRPartition:
         return float(self.score[self.wdeg == 0.0].sum())
 
     def pr_messages(self):
-        """Per-target pre-aggregated (dst, contribution) sums."""
+        """Per-target pre-aggregated (dst, contribution) sums, plus this
+        partition's dangling mass under the CURRENT scores (last return
+        value) — shipping it with the messages lets the appliers perform
+        the dangling allreduce themselves, so the driver never blocks
+        inside an iteration (pipelined BSP)."""
         rate = np.divide(
             self.score, self.wdeg, out=np.zeros_like(self.score), where=self.wdeg > 0
         )
@@ -154,19 +174,24 @@ class CSRPartition:
                 continue
             contrib = rate[src_local] * w
             out.append(np.bincount(out_idx, weights=contrib, minlength=n_out))
+        dang = float(self.score[self.wdeg == 0.0].sum())
         if self.P == 1:
-            return out[0]
-        return tuple(out)
+            return out[0], dang
+        return (*out, dang)
 
-    def pr_apply(self, base: float, damping: float, *msgs):
+    def pr_apply(self, damping: float, *args):
+        """args = P dangling scalars followed by P message arrays."""
+        P = self.P
+        dangling = float(sum(args[:P]))
+        msgs = args[P:]
+        base = (1.0 - damping) / self.n_total + damping * dangling / self.n_total
         new = np.full(self.n_owned, base, dtype=np.float64)
         for s, m in enumerate(msgs):
             if len(m):
                 new[self.in_idx[s]] += damping * m
         resid = float(np.abs(new - self.score).sum())
         self.score = new
-        dang = float(new[self.wdeg == 0.0].sum())
-        return resid, dang
+        return resid
 
     def scores_table(self) -> pa.Table:
         return pa.table({"vid": self.owned, "score": self.score})
@@ -369,6 +394,32 @@ class BSPGraph:
         _feed_actors(edges_ds, vertices_ds, self.actors, self.P)
         self.n = _wire_routes(self.actors, self.P)
 
+    @classmethod
+    def from_replicated(
+        cls,
+        base_table: pa.Table,
+        copies: int,
+        offset: int,
+        num_partitions: int,
+        actor_num_cpus: float = 0.1,
+    ):
+        """Scaled-bench constructor: every actor deterministically generates
+        its own slice of the copies-times-replicated base edge table from a
+        single broadcast (ray.put) base — no per-row feed through a Dataset
+        stage, so graph build is O(|base| x copies / P) per actor."""
+        self = cls.__new__(cls)
+        self.P = num_partitions
+        self.actors = [
+            CSRPartition.options(num_cpus=actor_num_cpus).remote(p, num_partitions)
+            for p in range(num_partitions)
+        ]
+        ref = ray.put(base_table)
+        ray.get(
+            [a.ingest_replicated.remote(ref, copies, offset) for a in self.actors]
+        )
+        self.n = _wire_routes(self.actors, self.P)
+        return self
+
     def _collect(self, method: str):
         refs = [getattr(a, method).remote() for a in self.actors]
         import ray.data
@@ -396,52 +447,63 @@ class BSPGraph:
         run_dir, every = ck.get("dir"), ck.get("every", 0)
         job_id = ck.get("job_id", "job")
         start_it = 0
-        dangling = None
+        ray.get([a.pr_init.remote(self.n) for a in actors])
         if run_dir and ck.get("resume"):
             latest = lineage.latest_complete_iter(run_dir)
             if latest is not None:
-                dangling = sum(
-                    ray.get(
-                        [a.load_checkpoint.remote(run_dir, latest) for a in actors]
-                    )
+                ray.get(
+                    [a.load_checkpoint.remote(run_dir, latest) for a in actors]
                 )
                 start_it = latest
-        if dangling is None:
-            dangling = sum(ray.get([a.pr_init.remote(self.n) for a in actors]))
 
+        # Pipelined BSP: the dangling allreduce travels with the messages
+        # (pr_messages ships each partition's dangling scalar; pr_apply
+        # sums all P), so the driver enqueues iterations ahead and only
+        # synchronizes every CHECK iterations for the residual stop test —
+        # per-actor serial execution order provides the BSP barrier.
+        # Convergence may overshoot by up to CHECK-1 iterations (harmless:
+        # extra power iterations only tighten the fixpoint).
+        CHECK = 4
         it = start_it
         iters_target = fixed_iters if fixed_iters is not None else max_iter
+        pending: dict[int, list] = {}
+        t_loop = time.perf_counter()
         while it < iters_target:
             it += 1
-            t0 = time.perf_counter()
-            base = (1.0 - damping) / self.n + damping * dangling / self.n
-            if P == 1:
-                msg_refs = [[actors[0].pr_messages.remote()]]
-            else:
-                msg_refs = [
-                    list(a.pr_messages.options(num_returns=P).remote())
-                    for a in actors
-                ]
-            stat_refs = [
+            mr = [
+                list(a.pr_messages.options(num_returns=P + 1).remote())
+                for a in actors
+            ]
+            dang_refs = [mr[s][P] for s in range(P)]
+            pending[it] = [
                 actors[t].pr_apply.remote(
-                    base, damping, *[msg_refs[s][t] for s in range(P)]
+                    damping, *dang_refs, *[mr[s][t] for s in range(P)]
                 )
                 for t in range(P)
             ]
-            stats_l = ray.get(stat_refs)
-            resid = sum(s[0] for s in stats_l)
-            dangling = sum(s[1] for s in stats_l)
-            if stats is not None:
-                stats.setdefault("iter_wall_s", []).append(time.perf_counter() - t0)
-            if run_dir and every and it % every == 0:
-                ray.get(
-                    [a.checkpoint.remote(run_dir, it, job_id, "score") for a in actors]
-                )
-                lineage.commit_iteration(
-                    run_dir, it, P, {"dangling": dangling, "resid": resid}
-                )
-            if fixed_iters is None and resid < tol:
-                break
+            is_ckpt = run_dir and every and it % every == 0
+            if is_ckpt or fixed_iters is None and (
+                it % CHECK == 0 or it == iters_target
+            ):
+                resid = None
+                for k in sorted(pending):
+                    resid = sum(ray.get(pending.pop(k)))
+                if is_ckpt:
+                    ray.get(
+                        [
+                            a.checkpoint.remote(run_dir, it, job_id, "score")
+                            for a in actors
+                        ]
+                    )
+                    lineage.commit_iteration(run_dir, it, P, {"resid": resid})
+                if fixed_iters is None and resid is not None and resid < tol:
+                    break
+        for k in sorted(pending):
+            ray.get(pending.pop(k))
+        if stats is not None:
+            stats.setdefault("iter_wall_s", []).append(
+                time.perf_counter() - t_loop
+            )
         return self._collect("scores_table"), it
 
     # ---- connected components (hash-min) ----------------------------------
