@@ -162,6 +162,11 @@ def q_pagerank(sf_dir):
     return _round6(scores, "score")
 
 
+def q_pagerank_top20(sf_dir):
+    # tie-break on vid: rounded scores can collide at the rank-20 boundary
+    return q_pagerank(sf_dir).sort(["score", "vid"], descending=[True, False]).limit(20)
+
+
 def q_connected_components(sf_dir):
     from networkit_ray.pipelines.components import connected_components
 
@@ -302,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edges_build": q_edges_build,
         "degrees": q_degrees,
         "pagerank": q_pagerank,
+        "pagerank_top20": q_pagerank_top20,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "triangle_counts": q_triangles,
@@ -540,6 +546,8 @@ def oracle_sql() -> dict[str, str]:
         "edges_build": _EDGES_SQL,
         "degrees": _DEGREES_SQL,
         "pagerank": _pagerank_sql(PR_ITERS),
+        "pagerank_top20": _pagerank_sql(PR_ITERS)
+        + " ORDER BY score DESC, vid ASC LIMIT 20",
         "connected_components": _CC_SQL,
         "label_propagation": _plp_sql(PLP_ITERS),
         "triangle_counts": _TRIANGLES_SQL,

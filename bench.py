@@ -7,15 +7,17 @@ and print ONE JSON line:
     {"metric": ..., "value": <total sec>, "unit": "sec",
      "queries": {...}, "sf": ..., "num_cpus": N, ...}
 
---scaling: run the scaled PageRank workload twice in fresh processes
-(num_cpus=8 then 32) on the same input and print throughput at both plus
-scaling efficiency = (T32/T8)/(32/8)  [T = edges/sec] — the sandbox stand-in
-for the N vs 4N cluster criterion (BASELINE.md).
+--scaling: run the scaled PageRank workload twice in fresh CPU-pinned
+processes (2 then 8 cpus by default; GRAFT_SCALE_CPUS_LO/HI) on the same
+input with the SAME fixed partition count, and print throughput at both
+plus steady-state scaling efficiency — the sandbox stand-in for the
+N vs 4N cluster criterion (BASELINE.md).
 
 The scaled workload derives deterministically from the sf input: the
 customer-supplier edge table replicated SCALE_COPIES times with disjoint
-vid offsets (hash partitioning still mixes copies across partitions, so
-every iteration remains an all-to-all message exchange).
+vid offsets, generated actor-locally (BSPGraph.from_replicated).  Hash
+partitioning mixes copies across partitions, so every iteration remains a
+genuine all-to-all message exchange.
 """
 
 from __future__ import annotations
@@ -56,23 +58,6 @@ def _edges(num_partitions):
     from networkit_ray.sources.tables import customer_supplier_edges
 
     return customer_supplier_edges(SF_DIR, num_partitions=num_partitions)
-
-
-def _scaled_edges(num_partitions):
-    """edges x SCALE_COPIES with disjoint vid offsets (deterministic)."""
-    base = _edges(num_partitions).materialize()
-
-    def replicate(t: pa.Table) -> pa.Table:
-        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
-        dst = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
-        w = t["w"].combine_chunks().to_numpy(zero_copy_only=False)
-        outs = []
-        for k in range(SCALE_COPIES):
-            off = np.int64(k) * COPY_OFFSET
-            outs.append(pa.table({"src": src + off, "dst": dst + off, "w": w}))
-        return pa.concat_tables(outs)
-
-    return base.map_batches(replicate, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def bench_pagerank_scaled(P):

@@ -137,3 +137,43 @@ def vertices_from_edges(edges_ds):
 
     ds = edges_ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
     return ds.groupby("vid").count().select_columns(["vid"])
+
+
+def top_k(scores_ds, k: int, col: str = "score", descending: bool = True):
+    """Global top-k by score (SURVEY.md §2.2 #12): distributed sort + limit."""
+    return scores_ds.sort(col, descending=descending).limit(k)
+
+
+def sample_edges(edges_ds, frac: float, seed: int = 42):
+    """Deterministic edge sample (SURVEY.md §2.2 #17): seeded hash-filter —
+    reproducible across runs and partitionings, unlike random_sample."""
+    import pandas as pd
+
+    threshold = np.uint64(int(frac * (1 << 64)))
+
+    def pick(t: pa.Table) -> pa.Table:
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        dst = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(src * np.int64(0x9E3779B9) ^ dst ^ np.int64(seed))
+        return t.filter(pa.array(h < threshold))
+
+    return edges_ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def validate_sha256(corpus_with_sha_ds, col: str = "content", sha_col: str = "sha256"):
+    """QA stage (SURVEY.md §2.2 #18): recompute sha256 per row and assert
+    equality with the stored column; raises inside the task on mismatch.
+    Returns the number of validated rows."""
+    import hashlib
+
+    def check(t: pa.Table) -> pa.Table:
+        for content, sha in zip(t[col].to_pylist(), t[sha_col].to_pylist()):
+            actual = hashlib.sha256((content or "").encode()).hexdigest()
+            if actual != sha:
+                raise ValueError(f"sha256 mismatch: {sha} != {actual}")
+        return pa.table({"n": pa.array([t.num_rows], type=pa.int64())})
+
+    checked = corpus_with_sha_ds.map_batches(
+        check, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return checked.sum("n") or 0
