@@ -191,6 +191,62 @@ def q_triangles(sf_dir):
     )
 
 
+def q_degree_centrality(sf_dir):
+    from networkit_ray.pipelines.centrality import degree_centrality
+
+    return degree_centrality(_supplier_edges(sf_dir), _suppliers(sf_dir), num_partitions=P)
+
+
+def q_katz(sf_dir):
+    from networkit_ray.pipelines.centrality import katz_centrality
+
+    out = katz_centrality(_edges(sf_dir), alpha=0.05, beta=1.0, iters=10, num_partitions=P)
+    return _round6(out, "x")
+
+
+def q_local_clustering(sf_dir):
+    from networkit_ray.pipelines.centrality import local_clustering_coefficient
+
+    out = local_clustering_coefficient(
+        _supplier_edges(sf_dir), _suppliers(sf_dir), num_partitions=P
+    )
+    return _round6(out, "lcc")
+
+
+def q_link_prediction(sf_dir):
+    from networkit_ray.pipelines.linkpred import link_prediction_scores
+
+    out = link_prediction_scores(_supplier_edges(sf_dir), num_partitions=P)
+    return _round6(_round6(out, "jaccard"), "adamic_adar")
+
+
+def q_tumbling_window(sf_dir):
+    from networkit_ray.pipelines.windows import tumbling_window
+    from networkit_ray.sources.tables import read_table
+
+    out = tumbling_window(read_table(sf_dir, "events"), window_s=3600, num_partitions=P)
+    return _round6(out, "sum_value")
+
+
+def q_session_windows(sf_dir):
+    from networkit_ray.pipelines.windows import session_windows
+    from networkit_ray.sources.tables import read_table
+
+    out = session_windows(read_table(sf_dir, "events"), gap_s=1800, num_partitions=P)
+    return _round6(out, "sum_value")
+
+
+def q_modularity(sf_dir):
+    from networkit_ray.pipelines.community import modularity
+    from networkit_ray.pipelines.labelprop import label_propagation
+
+    edges = _edges(sf_dir)
+    labels, _ = label_propagation(
+        edges, fixed_iters=PLP_ITERS, num_partitions=P, engine="actor"
+    )
+    return _round6(modularity(edges, labels, num_partitions=P), "modularity")
+
+
 def q_text_stats(sf_dir):
     from networkit_ray.pipelines.textstats import text_stats
 
@@ -311,6 +367,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "triangle_counts": q_triangles,
+        "degree_centrality": q_degree_centrality,
+        "katz_centrality": q_katz,
+        "local_clustering": q_local_clustering,
+        "link_prediction": q_link_prediction,
+        "tumbling_window": q_tumbling_window,
+        "session_windows": q_session_windows,
+        "modularity_plp": q_modularity,
         "text_stats": q_text_stats,
         "exact_dedup": q_exact_dedup,
         "jaccard_similar_pairs": q_jaccard_pairs,
@@ -541,6 +604,154 @@ FROM edges GROUP BY 1
 """
 
 
+
+
+_SUPPLIER_PRELUDE = """
+WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+ue AS (SELECT DISTINCT a.s AS src, b.s AS dst
+       FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+sym AS (SELECT src AS v, dst AS n FROM ue UNION ALL SELECT dst, src FROM ue),
+sdeg AS (SELECT v, COUNT(*) AS d FROM sym GROUP BY 1),
+sverts AS (SELECT DISTINCT s AS vid FROM ps)
+"""
+
+_DEGREE_CENTRALITY_SQL = (
+    _SUPPLIER_PRELUDE
+    + """
+SELECT v.vid, COALESCE(d.d, 0) AS degree
+FROM sverts v LEFT JOIN sdeg d ON v.vid = d.v
+"""
+)
+
+
+def _katz_sql(iters: int, alpha: float, beta: float) -> str:
+    return (
+        _GRAPH_PRELUDE
+        + f""",
+trans AS (
+  SELECT src, dst, w FROM edges
+  UNION ALL SELECT vid, vid, 0.0 FROM verts
+),
+kz AS (
+  SELECT 0 AS iter, vid, CAST({beta} AS DOUBLE) AS x FROM verts
+  UNION ALL
+  SELECT c.iter + 1, c.vid, {beta} + {alpha} * c.c
+  FROM (
+    SELECT k.iter AS iter, t.dst AS vid, SUM(k.x * t.w) AS c
+    FROM kz k JOIN trans t ON k.vid = t.src
+    WHERE k.iter < {iters}
+    GROUP BY 1, 2
+  ) c
+)
+SELECT vid, FLOOR(x * 1000000 + 0.5) / 1000000.0 AS x
+FROM kz WHERE iter = {iters}
+"""
+    )
+
+
+_LCC_SQL = (
+    _SUPPLIER_PRELUDE
+    + """,
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM ue e1
+  JOIN ue e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN ue e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+),
+corners AS (
+  SELECT a AS vid FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+tcnt AS (SELECT vid, COUNT(*) AS t FROM corners GROUP BY 1)
+SELECT v.vid,
+       FLOOR(CASE WHEN COALESCE(d.d, 0) >= 2
+                  THEN 2.0 * COALESCE(t.t, 0) / (d.d * (d.d - 1))
+                  ELSE 0.0 END * 1000000 + 0.5) / 1000000.0 AS lcc
+FROM sverts v
+LEFT JOIN sdeg d ON v.vid = d.v
+LEFT JOIN tcnt t ON v.vid = t.vid
+"""
+)
+
+_LINKPRED_SQL = (
+    _SUPPLIER_PRELUDE
+    + """,
+wed AS (
+  SELECT a.n AS u, b.n AS v, dp.d AS piv_d
+  FROM sym a JOIN sym b ON a.v = b.v AND a.n < b.n
+  JOIN sdeg dp ON dp.v = a.v
+),
+agg AS (
+  SELECT u, v, COUNT(*) AS cn, SUM(1.0 / LN(piv_d)) AS aa
+  FROM wed GROUP BY 1, 2
+)
+SELECT agg.u, agg.v, agg.cn,
+       FLOOR(CAST(agg.cn AS DOUBLE) / (du.d + dv.d - agg.cn)
+             * 1000000 + 0.5) / 1000000.0 AS jaccard,
+       FLOOR(agg.aa * 1000000 + 0.5) / 1000000.0 AS adamic_adar
+FROM agg JOIN sdeg du ON du.v = agg.u JOIN sdeg dv ON dv.v = agg.v
+"""
+)
+
+_TUMBLING_SQL = """
+SELECT user_id,
+       (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       COUNT(*) AS n_events,
+       FLOOR(SUM(value) * 1000000 + 0.5) / 1000000.0 AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+_SESSION_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts, value FROM events),
+m AS (
+  SELECT *,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id, MIN(ts) AS session_start_us, MAX(ts) AS session_end_us,
+       COUNT(*) AS n_events,
+       FLOOR(SUM(value) * 1000000 + 0.5) / 1000000.0 AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+def _modularity_sql(iters: int) -> str:
+    return (
+        _plp_sql(iters).replace(
+            "SELECT vid, label FROM plp WHERE iter = " + str(iters),
+            f""", lab AS (SELECT vid, label FROM plp WHERE iter = {iters}),
+ww AS (SELECT SUM(w) AS W FROM edges),
+w_c AS (
+  SELECT a.label, SUM(e.w) AS w_in
+  FROM edges e JOIN lab a ON a.vid = e.src JOIN lab b ON b.vid = e.dst
+  WHERE a.label = b.label GROUP BY 1
+),
+vdeg AS (
+  SELECT v, SUM(w) AS wd FROM (
+    SELECT src AS v, w FROM edges UNION ALL SELECT dst, w FROM edges
+  ) GROUP BY 1
+),
+s_c AS (
+  SELECT l.label, SUM(d.wd) AS sc
+  FROM vdeg d JOIN lab l ON l.vid = d.v GROUP BY 1
+)
+SELECT FLOOR(SUM(COALESCE(w.w_in, 0.0) / (SELECT W FROM ww)
+             - (s.sc / (2 * (SELECT W FROM ww)))
+               * (s.sc / (2 * (SELECT W FROM ww))))
+       * 1000000 + 0.5) / 1000000.0 AS modularity
+FROM s_c s LEFT JOIN w_c w ON s.label = w.label
+""",
+        )
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "edges_build": _EDGES_SQL,
@@ -551,6 +762,13 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": _CC_SQL,
         "label_propagation": _plp_sql(PLP_ITERS),
         "triangle_counts": _TRIANGLES_SQL,
+        "degree_centrality": _DEGREE_CENTRALITY_SQL,
+        "katz_centrality": _katz_sql(10, 0.05, 1.0),
+        "local_clustering": _LCC_SQL,
+        "link_prediction": _LINKPRED_SQL,
+        "tumbling_window": _TUMBLING_SQL,
+        "session_windows": _SESSION_SQL,
+        "modularity_plp": _modularity_sql(PLP_ITERS),
         "text_stats": _TEXT_STATS_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
         "jaccard_similar_pairs": _JACCARD_SQL,

@@ -1,0 +1,155 @@
+"""Centrality family beyond PageRank (SURVEY.md §2.3 `centrality/` module):
+degree centrality, Katz centrality, local clustering coefficient.
+
+All reuse existing skeletons: degree = the degrees aggregate; Katz = the
+PageRank SpMV-iteration skeleton with a constant teleport (x' = α·Aᵀx + β,
+fixed iterations — matching the reference's KatzCentrality power iteration);
+LCC composes per-vertex triangle counts with degrees
+(lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), the reference's
+LocalClusteringCoefficient definition).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Sum
+
+from networkit_ray.stages.graphops import (
+    canonicalize_undirected,
+    out_degrees,
+    symmetrize,
+    vertices_from_edges,
+)
+
+
+def degree_centrality(edges_ds, vertices_ds=None, num_partitions: int = 8):
+    """Undirected degree per vertex -> (vid, degree). The reference's
+    DegreeCentrality (normalize downstream if needed)."""
+    canon = canonicalize_undirected(edges_ds, weight="one")
+    if vertices_ds is None:
+        vertices_ds = vertices_from_edges(edges_ds)
+    deg = (
+        out_degrees(symmetrize(canon), weighted=False)
+        .select_columns(["vid", "out_deg"])
+        .materialize()
+    )
+    return (
+        vertices_ds.select_columns(["vid"])
+        .join(deg, join_type="left_outer", num_partitions=num_partitions, on=("vid",))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "vid": t["vid"],
+                    "degree": pc.fill_null(pc.cast(t["out_deg"], pa.int64()), 0),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
+def katz_centrality(
+    edges_ds,
+    vertices_ds=None,
+    alpha: float = 0.05,
+    beta: float = 1.0,
+    iters: int = 10,
+    num_partitions: int = 8,
+):
+    """x_{k+1}[u] = β + α · Σ_{v→u} w(v,u)·x_k[v], x_0 = β. Fixed-iteration
+    (deterministic; the SQL oracle mirrors it). Directed semantics over the
+    raw edge table — pass a symmetrized table for the undirected variant."""
+    if vertices_ds is None:
+        vertices_ds = vertices_from_edges(edges_ds)
+    verts = vertices_ds.select_columns(["vid"]).materialize()
+    edges = edges_ds.select_columns(["src", "dst", "w"]).materialize()
+
+    scores = verts.map_batches(
+        lambda t: pa.table(
+            {"vid": t["vid"], "x": pa.array(np.full(t.num_rows, beta))}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    def _contrib(t: pa.Table) -> pa.Table:
+        out = pa.table({"vid": t["dst"], "c": pc.multiply(pc.cast(t["w"], pa.float64()), t["x"])})
+        return out.group_by("vid").aggregate([("c", "sum")]).rename_columns(["vid", "c"])
+
+    for _ in range(iters):
+        contribs = (
+            edges.join(
+                scores,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("src",),
+                right_on=("vid",),
+            )
+            .map_batches(_contrib, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("vid", num_partitions=num_partitions)
+            .aggregate(Sum("c", alias_name="c"))
+        )
+        scores = (
+            verts.join(
+                contribs,
+                join_type="left_outer",
+                num_partitions=num_partitions,
+                on=("vid",),
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "vid": t["vid"],
+                        "x": pc.add(
+                            pc.multiply(
+                                pc.fill_null(pc.cast(t["c"], pa.float64()), 0.0),
+                                alpha,
+                            ),
+                            beta,
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .materialize()
+        )
+    return scores
+
+
+def local_clustering_coefficient(edges_ds, vertices_ds=None, num_partitions: int = 8):
+    """lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)); 0 for deg < 2."""
+    from networkit_ray.pipelines.triangles import triangle_counts
+
+    tri = triangle_counts(edges_ds, vertices_ds, num_partitions).materialize()
+    deg = degree_centrality(edges_ds, vertices_ds, num_partitions)
+    return (
+        deg.join(tri, join_type="inner", num_partitions=num_partitions, on=("vid",))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "vid": t["vid"],
+                    "lcc": np.where(
+                        t["degree"].combine_chunks().to_numpy(zero_copy_only=False) >= 2,
+                        2.0
+                        * t["triangles"].combine_chunks().to_numpy(zero_copy_only=False)
+                        / np.maximum(
+                            t["degree"].combine_chunks().to_numpy(zero_copy_only=False)
+                            * (
+                                t["degree"].combine_chunks().to_numpy(zero_copy_only=False)
+                                - 1
+                            ),
+                            1,
+                        ),
+                        0.0,
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
