@@ -1,0 +1,188 @@
+"""Conformance tests for the extended operator families: centrality
+(degree/Katz/LCC), link prediction, modularity, windowed event aggregates."""
+
+import networkx as nx
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from networkit_ray.pipelines.centrality import (
+    degree_centrality,
+    katz_centrality,
+    local_clustering_coefficient,
+)
+from networkit_ray.pipelines.community import modularity
+from networkit_ray.pipelines.linkpred import link_prediction_scores
+from networkit_ray.pipelines.windows import session_windows, tumbling_window
+
+from tests.conftest import edges_dataset, fixture_graph
+
+
+def test_degree_centrality(ray_session):
+    G = fixture_graph("karate")
+    got = (
+        degree_centrality(edges_dataset(G), num_partitions=4)
+        .to_pandas()
+        .set_index("vid")["degree"]
+    )
+    for v in G.nodes:
+        assert got[int(v)] == G.degree(v)
+
+
+def ref_katz(edges, verts, alpha, beta, iters):
+    x = {v: beta for v in verts}
+    for _ in range(iters):
+        new = {v: beta for v in verts}
+        for s, d, w in edges:
+            new[d] += alpha * w * x[s]
+        x = new
+    return x
+
+
+def test_katz_fixed_iters(ray_session):
+    G = fixture_graph("er200")
+    got_ds = katz_centrality(
+        edges_dataset(G), alpha=0.01, beta=1.0, iters=8, num_partitions=4
+    )
+    got = got_ds.to_pandas().set_index("vid")["x"]
+    edges = [(int(u), int(v), float(d.get("weight", 1.0))) for u, v, d in G.edges(data=True)]
+    want = ref_katz(edges, set(int(v) for v in G.nodes), 0.01, 1.0, 8)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, v
+
+
+def test_local_clustering_vs_networkx(ray_session):
+    G = fixture_graph("ba300")
+    got = (
+        local_clustering_coefficient(edges_dataset(G), num_partitions=4)
+        .to_pandas()
+        .set_index("vid")["lcc"]
+    )
+    want = nx.clustering(G)
+    for v in G.nodes:
+        assert abs(got[int(v)] - want[v]) < 1e-9, v
+
+
+def test_link_prediction_vs_networkx(ray_session):
+    G = fixture_graph("karate")
+    got = link_prediction_scores(edges_dataset(G), num_partitions=4).to_pandas()
+    got = got.set_index(["u", "v"])
+    pairs = list(got.index)
+    # networkx oracles (pure python)
+    jac = {(u, v): p for u, v, p in nx.jaccard_coefficient(G, pairs)}
+    aa = {(u, v): p for u, v, p in nx.adamic_adar_index(G, pairs)}
+    cn = {
+        (u, v): len(list(nx.common_neighbors(G, u, v)))
+        for u, v in pairs
+    }
+    for uv in pairs:
+        assert got.loc[uv, "cn"] == cn[uv], uv
+        assert abs(got.loc[uv, "jaccard"] - jac[uv]) < 1e-9, uv
+        assert abs(got.loc[uv, "adamic_adar"] - aa[uv]) < 1e-9, uv
+    # completeness: every pair with >=1 common neighbor is present
+    n_expected = sum(
+        1
+        for u in G.nodes
+        for v in G.nodes
+        if u < v and len(list(nx.common_neighbors(G, u, v))) > 0
+    )
+    assert len(pairs) == n_expected
+
+
+def test_modularity_vs_networkx(ray_session):
+    G = fixture_graph("karate")
+    # arbitrary but fixed 3-community split
+    comms = [set(), set(), set()]
+    labels_rows = []
+    for v in G.nodes:
+        c = int(v) % 3
+        comms[c].add(v)
+        labels_rows.append((int(v), c))
+    labels_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": np.array([r[0] for r in labels_rows], dtype=np.int64),
+                "label": np.array([r[1] for r in labels_rows], dtype=np.int64),
+            }
+        )
+    )
+    got = (
+        modularity(edges_dataset(G), labels_ds, num_partitions=4)
+        .to_pandas()["modularity"][0]
+    )
+    want = nx.algorithms.community.modularity(G, comms, weight="weight")
+    assert abs(got - want) < 1e-9
+
+
+def events_ds():
+    rng = np.random.default_rng(42)
+    n = 500
+    ts = np.sort(rng.integers(0, 3_600_000_000 * 5, size=n)).astype("datetime64[us]")
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "ts": pa.array(ts),
+                "user_id": rng.integers(0, 10, size=n).astype(np.int64),
+                "event_type": ["x"] * n,
+                "value": rng.uniform(0, 100, size=n),
+                "props": ["{}"] * n,
+            }
+        )
+    )
+
+
+def test_tumbling_window_vs_pandas(ray_session):
+    ds = events_ds()
+    got = (
+        tumbling_window(ds, window_s=3600, num_partitions=4)
+        .to_pandas()
+        .sort_values(["user_id", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    df = ds.to_pandas()
+    df["window_start_us"] = (df["ts"].astype("int64") // 3_600_000_000) * 3_600_000_000
+    want = (
+        df.groupby(["user_id", "window_start_us"])
+        .agg(n_events=("event_id", "size"), sum_value=("value", "sum"))
+        .reset_index()
+        .sort_values(["user_id", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+    np.testing.assert_allclose(got["sum_value"], want["sum_value"], atol=1e-9)
+
+
+def test_session_windows_vs_pandas(ray_session):
+    ds = events_ds()
+    gap_us = 1800 * 1_000_000
+    got = (
+        session_windows(ds, gap_s=1800, num_partitions=4)
+        .to_pandas()
+        .sort_values(["user_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+    df = ds.to_pandas().sort_values(["user_id", "ts"])
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        ts = g["ts"].astype("int64").to_numpy()
+        vals = g["value"].to_numpy()
+        start = 0
+        for i in range(1, len(ts) + 1):
+            if i == len(ts) or ts[i] - ts[i - 1] > gap_us:
+                rows.append(
+                    (uid, ts[start], ts[i - 1], i - start, vals[start:i].sum())
+                )
+                start = i
+    want = pd.DataFrame(
+        rows,
+        columns=["user_id", "session_start_us", "session_end_us", "n_events", "sum_value"],
+    ).sort_values(["user_id", "session_start_us"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    for col in ["user_id", "session_start_us", "session_end_us", "n_events"]:
+        assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+    np.testing.assert_allclose(got["sum_value"], want["sum_value"], atol=1e-9)
