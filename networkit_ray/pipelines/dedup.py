@@ -27,6 +27,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data.aggregate import Min
 
@@ -124,35 +125,87 @@ class MinHasher:
         return pd.DataFrame(out)
 
 
-def minhash_band_rows(docs_ds, num_perm=64, bands=16, k=3, seed=42, concurrency=None):
-    """documents -> (band, band_hash, doc_id) rows for the LSH groupby."""
-    rows_per_band = num_perm // bands
+def _band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, num_perm) uint64 signature matrix -> (n_docs, bands) int63
+    band hashes — one vectorized splitmix-style mixing pass per band lane
+    (replaces a per-doc-per-band Python blake2b loop; any well-mixing
+    deterministic hash is valid for LSH bucketing)."""
+    n, num_perm = sigs.shape
+    r = num_perm // bands
+    lanes = sigs.reshape(n, bands, r)
+    h = np.full((n, bands), np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64)
+    for j in range(r):  # r is small (4): vectorized over all docs x bands
+        h ^= lanes[:, :, j]
+        h *= _SH_C1
+        h ^= h >> np.uint64(29)
+        h *= _SH_C2
+    h ^= h >> np.uint64(32)
+    return (h >> np.uint64(1)).astype(np.int64)  # int63: safe int64 join key
 
-    class Bander(MinHasher):
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            ids, band_ids, band_hashes = [], [], []
-            for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
-                sig = self.signature(text)
-                for b in range(bands):
-                    chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                    h = int.from_bytes(
-                        hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(),
-                        "big",
-                    ) >> 1
-                    ids.append(int(doc_id))
-                    band_ids.append(b)
-                    band_hashes.append(h)
-            return pd.DataFrame(
-                {
-                    "band": np.array(band_ids, dtype=np.int64),
-                    "band_hash": np.array(band_hashes, dtype=np.int64),
-                    "doc_id": np.array(ids, dtype=np.int64),
-                }
+
+class Bander(MinHasher):
+    """Actor-pool stage: (doc_id, text) -> one row per (doc, band) with the
+    band bucket hash; optionally carries the doc's shingle-hash set so the
+    bucket self-join can verify exact Jaccard inline (no extra text joins).
+    """
+
+    def __init__(self, num_perm=64, bands=16, k=3, seed=42, carry_shingles=False):
+        super().__init__(num_perm=num_perm, k=k, seed=seed)
+        self.bands = bands
+        self.carry = carry_shingles
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        texts = batch["text"].fillna("").tolist()
+        ids = batch["doc_id"].to_numpy(np.int64)
+        n, bands = len(texts), self.bands
+        shingle_sets = [
+            (_shingles(t, self.k) & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+            for t in texts
+        ]
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        for i, xs in enumerate(shingle_sets):
+            sigs[i] = (self.a[:, None] * xs[None, :] + self.b[:, None]).min(axis=1)
+        bh = _band_hashes(sigs, bands)
+        cols = {
+            "band": np.tile(np.arange(bands, dtype=np.int64), n),
+            "band_hash": bh.reshape(-1),
+            "doc_id": np.repeat(ids, bands),
+        }
+        out = pa.table(cols)
+        if self.carry:
+            # each doc's shingle set as raw int64 bytes, repeated once per
+            # band (doc-major row order matches the columns above).  Binary,
+            # not list<int64>: Arrow's acero join rejects nested payload
+            # columns but passes var-length binary through untouched.
+            blobs = [s.view(np.int64).tobytes() for s in shingle_sets]
+            out = out.append_column(
+                "toks",
+                pa.array(
+                    [bl for bl in blobs for _ in range(bands)],
+                    type=pa.large_binary(),
+                ),
             )
+        return out
 
+
+def minhash_band_rows(docs_ds, num_perm=64, bands=16, k=3, seed=42, concurrency=None,
+                      carry_shingles=False):
+    """documents -> (band, band_hash, doc_id[, toks]) rows for the LSH
+    bucket self-join.  ``carry_shingles`` duplicates each doc's shingle-hash
+    set onto its ``bands`` rows so downstream verification needs no join
+    back to the corpus — the shuffle ships ~bands x shingle-bytes instead of
+    re-exchanging raw text twice (the sf-scale win; for shingle-heavy docs a
+    co-partitioned join-verify over (doc_id -> toks) would ship less — see
+    minhash_dedup_groups docstring)."""
     return docs_ds.map_batches(
         Bander,
-        fn_constructor_kwargs={"num_perm": num_perm, "k": k, "seed": seed},
+        fn_constructor_kwargs={
+            "num_perm": num_perm,
+            "bands": bands,
+            "k": k,
+            "seed": seed,
+            "carry_shingles": carry_shingles,
+        },
         batch_format="pandas",
         concurrency=concurrency or 4,
         num_cpus=0.5,
@@ -212,91 +265,110 @@ def minhash_dedup_groups(
     dup_group = min doc_id of the verified-duplicate component (exact
     Jaccard >= threshold on word-k-gram shingle sets).  Docs with no
     duplicate map to themselves.
+
+    Shape (one wide exchange total): band rows CARRY each doc's shingle-hash
+    set, so the (band, band_hash) bucket self-join delivers both sides'
+    sets to the verifier in the same task — exact Jaccard is checked inline
+    and raw text never re-shuffles.  Verified pairs are output-bound-small:
+    they stream to a driver union-find, and the resulting root map is
+    broadcast (ray.put) into a final stateless map — no corpus-wide join.
+    Shuffle volume = bands x shingle-bytes; for extremely shingle-heavy
+    docs a co-partitioned two-join verify against a (doc_id -> toks) table
+    ships less per doc and would be the preferred variant.
     """
-    band_rows = minhash_band_rows(docs_ds, num_perm, bands, k, seed)
-    cands = candidate_pairs(band_rows, num_partitions).materialize()
-
-    def _self_groups(t):
-        return pa.table({"doc_id": t["doc_id"], "dup_group": t["doc_id"]})
-
-    if cands.count() == 0:
-        # no LSH candidates at all: every doc is its own group (an
-        # entirely-empty join side crashes Ray 2.49 shuffles — compat.py)
-        return docs_ds.select_columns(["doc_id"]).map_batches(
-            _self_groups, batch_format="pyarrow", zero_copy_batch=True
-        )
-
-    texts = docs_ds.select_columns(["doc_id", "text"]).materialize()
-    # explicit projections between chained joins (Ray 2.49 mis-plans
-    # rename/select Projects on unmaterialized join outputs — compat.py)
-    j1 = cands.join(
-        texts,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("a",),
-        right_on=("doc_id",),
-    ).map_batches(
-        lambda t: pa.table({"a": t["a"], "b": t["b"], "text_a": t["text"]}),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    j2 = j1.join(
-        texts,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("b",),
-        right_on=("doc_id",),
-    ).map_batches(
-        lambda t: pa.table(
-            {"a": t["a"], "b": t["b"], "text_a": t["text_a"], "text_b": t["text"]}
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        keep_a, keep_b, jac = [], [], []
-        for a, b, ta, tb in zip(df["a"], df["b"], df["text_a"], df["text_b"]):
-            sa, sb = _shingles(ta, k), _shingles(tb, k)
-            jv = _jaccard(sa, sb)
-            if jv >= threshold:
-                keep_a.append(int(a))
-                keep_b.append(int(b))
-                jac.append(jv)
-        return pd.DataFrame(
-            {"a": np.array(keep_a, dtype=np.int64),
-             "b": np.array(keep_b, dtype=np.int64),
-             "jaccard": np.array(jac, dtype=np.float64)}
-        )
-
-    verified = j2.map_batches(verify, batch_format="pandas")
-
-    # duplicate components: verified pairs are tiny vs the corpus ->
-    # union-find reducer (same contraction story as components.py)
-    uf = UnionFind()
-    for b in verified.select_columns(["a", "b"]).iter_batches(
-        batch_format="pyarrow", batch_size=None
-    ):
-        uf.union_arrays(
-            b["a"].to_numpy(zero_copy_only=False), b["b"].to_numpy(zero_copy_only=False)
-        )
-    vids, roots = uf.roots()
+    import ray
     import ray.data
 
-    root_ds = ray.data.from_arrow(pa.table({"doc_id": vids, "grp": roots}))
-    return (
-        docs_ds.select_columns(["doc_id"])
-        .join(root_ds, join_type="left_outer", num_partitions=num_partitions, on=("doc_id",))
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "doc_id": t["doc_id"],
-                    "dup_group": pa.compute.coalesce(t["grp"], t["doc_id"]),
-                }
-            ),
+    band_rows = minhash_band_rows(
+        docs_ds, num_perm, bands, k, seed, carry_shingles=True
+    ).materialize()
+
+    if band_rows.count() == 0:
+        # entirely-empty join sides crash Ray 2.49 shuffles (compat.py)
+        return docs_ds.select_columns(["doc_id"]).map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"], "dup_group": t["doc_id"]}),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
+
+    joined = band_rows.join(
+        band_rows,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("band", "band_hash"),
+        left_suffix="_l",
+        right_suffix="_r",
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t["doc_id_l"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["doc_id_r"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = np.flatnonzero(a < b)
+        if len(keep) == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        # local pre-dedup: the same pair can collide via multiple bands
+        order = np.lexsort((b[keep], a[keep]))
+        ks = keep[order]
+        aa, bb = a[ks], b[ks]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = (aa[1:] != aa[:-1]) | (bb[1:] != bb[:-1])
+        keep = ks[first]
+        toks_l = t["toks_l"].combine_chunks()
+        toks_r = t["toks_r"].combine_chunks()
+        ka, kb = [], []
+        for i in keep:
+            i = int(i)
+            sa = np.frombuffer(toks_l[i].as_py(), dtype=np.int64)
+            sb = np.frombuffer(toks_r[i].as_py(), dtype=np.int64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            if (inter / union if union else 1.0) >= threshold:
+                ka.append(int(a[i]))
+                kb.append(int(b[i]))
+        return pa.table(
+            {
+                "a": np.array(ka, dtype=np.int64),
+                "b": np.array(kb, dtype=np.int64),
+            }
+        )
+
+    verified = joined.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+    # duplicate components: verified pairs are tiny vs the corpus -> stream
+    # into a driver union-find (duplicate pairs across bands are no-ops),
+    # then broadcast the root map — it only contains docs WITH a duplicate.
+    uf = UnionFind()
+    for batch in verified.iter_batches(batch_format="pyarrow", batch_size=None):
+        uf.union_arrays(
+            batch["a"].to_numpy(zero_copy_only=False),
+            batch["b"].to_numpy(zero_copy_only=False),
+        )
+    vids, roots = uf.roots()
+    ref = ray.put((vids, roots))
+
+    class Assign:
+        def __init__(self, ref):
+            v, r = ray.get(ref)
+            order = np.argsort(v)
+            self.v, self.r = v[order], r[order]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            if len(self.v) == 0:
+                return pa.table({"doc_id": ids, "dup_group": ids})
+            pos = np.minimum(np.searchsorted(self.v, ids), len(self.v) - 1)
+            grp = np.where(self.v[pos] == ids, self.r[pos], ids)
+            return pa.table({"doc_id": ids, "dup_group": grp})
+
+    return docs_ds.select_columns(["doc_id"]).map_batches(
+        Assign,
+        fn_constructor_kwargs={"ref": ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=4,
+        num_cpus=0.5,
     )
 
 
@@ -332,116 +404,446 @@ def simhash_signatures(docs_ds):
     return docs_ds.map_batches(mk, batch_format="pandas")
 
 
-def simhash_candidates(docs_ds, num_partitions=8):
-    """Band 64-bit simhash into 4x16-bit keys -> candidate pairs with any
-    shared band (catches all pairs at Hamming distance <= 3)."""
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of an int64-viewed uint64 array."""
+    u = x.view(np.uint64)
+    d = np.zeros(len(u), dtype=np.int64)
+    for i in range(64):
+        d += ((u >> np.uint64(i)) & np.uint64(1)).astype(np.int64)
+    return d
+
+
+def simhash_candidates(
+    docs_ds, num_partitions=8, max_bucket=10_000, skew_log=None
+):
+    """Candidate *signature* pairs (sa, sb, hamming) over DISTINCT simhash
+    values: band each distinct 64-bit signature into 4x16-bit keys and
+    self-join buckets (any pair at Hamming distance <= 3 shares a band by
+    pigeonhole).
+
+    Skew safety (the triangles-hub-cap analogue): operating on distinct
+    signatures collapses the classic degenerate bucket — a million
+    identical/templated docs are ONE signature here, not 10^12 pairs — and
+    residual hot buckets with > ``max_bucket`` distinct signatures are
+    dropped and counted in ``skew_log`` (a dict, if given), mirroring how a
+    real corpus run would quarantine pathological template clusters rather
+    than melt a single task.
+    """
     sigs = simhash_signatures(docs_ds)
+
+    distinct = (
+        sigs.groupby("simhash", num_partitions=num_partitions)
+        .count()
+        .select_columns(["simhash"])
+    )
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         sh = df["simhash"].to_numpy(np.int64).view(np.uint64)
-        ids = df["doc_id"].to_numpy(np.int64)
         rows = []
         for band in range(4):
             chunk = ((sh >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(np.int64)
             rows.append(
                 pd.DataFrame(
-                    {"band": band, "band_hash": chunk, "doc_id": ids, "simhash": sh.view(np.int64)}
+                    {"band": band, "band_hash": chunk, "simhash": sh.view(np.int64)}
                 )
             )
         return pd.concat(rows, ignore_index=True)
 
-    exploded = sigs.map_batches(explode, batch_format="pandas")
+    band_rows = distinct.map_batches(explode, batch_format="pandas").materialize()
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame({"a": [], "b": [], "ha": [], "hb": []}).astype(np.int64)
-        d = df.sort_values("doc_id")
-        ids = d["doc_id"].to_numpy(np.int64)
-        hs = d["simhash"].to_numpy(np.int64)
-        ai, bi = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ai], "b": ids[bi], "ha": hs[ai], "hb": hs[bi]})
-
-    cand = exploded.groupby(["band", "band_hash"], num_partitions=num_partitions).map_groups(
-        pairs, batch_format="pandas"
+    # hot-bucket quarantine: buckets wider than max_bucket distinct sigs
+    sizes = (
+        band_rows.groupby(["band", "band_hash"], num_partitions=num_partitions)
+        .count()
     )
-    return cand.groupby(["a", "b"], num_partitions=num_partitions).aggregate(
-        Min("ha", alias_name="ha"), Min("hb", alias_name="hb")
+    hot = sizes.map_batches(
+        lambda t: t.filter(pc.greater(t["count()"], max_bucket)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
-
-
-def simhash_near_dups(docs_ds, max_hamming=3, num_partitions=8):
-    """-> Dataset(a, b, hamming) pairs with Hamming distance <= max_hamming."""
-    cand = simhash_candidates(docs_ds, num_partitions)
-
-    def ham(df: pd.DataFrame) -> pd.DataFrame:
-        x = df["ha"].to_numpy(np.int64).view(np.uint64) ^ df["hb"].to_numpy(
-            np.int64
-        ).view(np.uint64)
-        d = np.zeros(len(x), dtype=np.int64)
-        for i in range(64):
-            d += ((x >> np.uint64(i)) & np.uint64(1)).astype(np.int64)
-        out = pd.DataFrame(
-            {"a": df["a"].to_numpy(np.int64), "b": df["b"].to_numpy(np.int64), "hamming": d}
+    hot_pdf = hot.to_pandas()  # tiny by construction (hot buckets only)
+    if len(hot_pdf):
+        if skew_log is not None:
+            skew_log["hot_buckets"] = len(hot_pdf)
+            skew_log["hot_bucket_sigs"] = int(hot_pdf["count()"].sum())
+        hot_keys = set(
+            zip(hot_pdf["band"].astype(int), hot_pdf["band_hash"].astype(int))
         )
-        return out[out["hamming"] <= max_hamming]
+        import ray
 
-    return cand.map_batches(ham, batch_format="pandas")
+        hot_ref = ray.put(hot_keys)
+
+        def drop_hot(t: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            keys = _ray.get(hot_ref)
+            b = t["band"].combine_chunks().to_numpy(zero_copy_only=False)
+            h = t["band_hash"].combine_chunks().to_numpy(zero_copy_only=False)
+            keep = np.array(
+                [(int(x), int(y)) not in keys for x, y in zip(b, h)], dtype=bool
+            )
+            return t.filter(pa.array(keep))
+
+        band_rows = band_rows.map_batches(
+            drop_hot, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+
+    joined = band_rows.join(
+        band_rows,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("band", "band_hash"),
+        left_suffix="_l",
+        right_suffix="_r",
+    )
+
+    def mk_pairs(t: pa.Table) -> pa.Table:
+        sa = t["simhash_l"].combine_chunks().to_numpy(zero_copy_only=False)
+        sb = t["simhash_r"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = sa < sb
+        out = pa.table({"sa": sa[keep], "sb": sb[keep]})
+        return out.group_by(["sa", "sb"]).aggregate([])  # local pre-dedup
+
+    pairs = joined.map_batches(mk_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    deduped = (
+        pairs.groupby(["sa", "sb"], num_partitions=num_partitions)
+        .count()
+        .select_columns(["sa", "sb"])
+    )
+
+    def ham(t: pa.Table) -> pa.Table:
+        sa = t["sa"].combine_chunks().to_numpy(zero_copy_only=False)
+        sb = t["sb"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"sa": sa, "sb": sb, "hamming": _popcount64(sa ^ sb)})
+
+    return deduped.map_batches(ham, batch_format="pyarrow", zero_copy_batch=True)
 
 
-# ---- exact all-pairs token Jaccard (SQL-checkable baseline) ---------------
+def simhash_near_dups(
+    docs_ds, max_hamming=3, num_partitions=8, max_bucket=10_000, skew_log=None
+):
+    """-> Dataset(a, b, hamming): doc pairs with signature Hamming distance
+    <= max_hamming.  Candidates are generated over distinct signatures
+    (skew-safe, see simhash_candidates) and expanded back to doc pairs via
+    two co-partitioned joins on the signature; identical-signature groups
+    expand to their (output-bound) hamming-0 member pairs."""
+    sigs = simhash_signatures(docs_ds).materialize()
+    if sigs.count() == 0:
+        return _empty_sim_pairs_ds()
+
+    cand = (
+        simhash_candidates(docs_ds, num_partitions, max_bucket, skew_log)
+        .map_batches(
+            lambda t: t.filter(pc.less_equal(t["hamming"], max_hamming)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+
+    # identical-signature pairs (hamming 0): self-join members on simhash
+    within = sigs.join(
+        sigs,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("simhash",),
+        left_suffix="_l",
+        right_suffix="_r",
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "a": pc.if_else(
+                    pc.less(t["doc_id_l"], t["doc_id_r"]), t["doc_id_l"], t["doc_id_r"]
+                ),
+                "b": pc.if_else(
+                    pc.less(t["doc_id_l"], t["doc_id_r"]), t["doc_id_r"], t["doc_id_l"]
+                ),
+                "hamming": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            }
+        ).filter(pc.less(t["doc_id_l"], t["doc_id_r"])),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    if cand.count() == 0:
+        return within
+
+    # cross-signature expansion: (sa, sb, hamming) x members(sa) x members(sb)
+    j1 = cand.join(
+        sigs,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("sa",),
+        right_on=("simhash",),
+    ).map_batches(
+        lambda t: pa.table(
+            {"sb": t["sb"], "hamming": t["hamming"], "da": t["doc_id"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cross = j1.join(
+        sigs,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("sb",),
+        right_on=("simhash",),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "a": pc.min_element_wise(t["da"], t["doc_id"]),
+                "b": pc.max_element_wise(t["da"], t["doc_id"]),
+                "hamming": t["hamming"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return within.union(cross)
 
 
-def jaccard_similar_pairs(docs_ds, threshold=0.5, num_partitions=8):
-    """All-pairs Jaccard over distinct-word sets -> (a, b, jaccard >= t).
+def _empty_sim_pairs_ds():
+    import ray.data
 
-    Brute force with the full (doc_id -> token-set) map broadcast via
-    ray.put and each batch compared against it (a < b de-dup).  O(n²) —
-    the verifiable baseline; minhash_dedup_groups is the scale path.
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+    )
+
+
+# ---- exact distributed token Jaccard (prefix-filtered set-similarity join)
+
+
+def _token_set_rows(docs_ds, concurrency=4):
+    """documents -> (doc_id, toks: large_binary of the sorted distinct
+    token-hash set, sz).  Empty docs are dropped (matching the SQL oracle's
+    TRIM(text) <> '' filter).  64-bit token hashing makes distinct-word
+    Jaccard exact up to a ~2^-64 per-pair collision probability."""
+
+    def mk(df: pd.DataFrame) -> pa.Table:
+        ids = df["doc_id"].to_numpy(np.int64)
+        out_ids, blobs, szs = [], [], []
+        for i, t in zip(ids, df["text"].fillna("")):
+            toks = t.split()
+            if not toks:
+                continue
+            hs = np.unique(pd.util.hash_array(np.asarray(toks, dtype=object)))
+            out_ids.append(int(i))
+            blobs.append(hs.view(np.int64).tobytes())
+            szs.append(len(hs))
+        return pa.table(
+            {
+                "doc_id": np.array(out_ids, dtype=np.int64),
+                "toks": pa.array(blobs, type=pa.large_binary()),
+                "sz": np.array(szs, dtype=np.int64),
+            }
+        )
+
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        mk, batch_format="pandas", concurrency=concurrency, num_cpus=0.5
+    )
+
+
+_HOT_BASE = np.uint64(1) << np.uint64(63)
+
+
+def jaccard_similar_pairs(
+    docs_ds, threshold=0.5, num_partitions=8, hot_k=4096
+):
+    """Exact all-pairs Jaccard over distinct-word sets -> (a, b, jaccard)
+    for every pair with jaccard >= threshold, a < b.
+
+    Distributed prefix-filtered set-similarity join (SSJoin/PPJoin family,
+    Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08):
+
+    1. token-set stage: per doc the sorted distinct token-hash set.
+    2. global token order: ascending document frequency — the ``hot_k``
+       most frequent tokens (one pre-combined count + small sort) rank
+       LAST; all other tokens order by hash.  Hot-token posting lists
+       therefore never enter prefixes, bounding the self-join's skew.
+    3. prefix stage: each doc emits its floor((1-t)·sz)+1 smallest tokens
+       under that order.  Theorem: any pair with J >= t shares at least
+       one prefix token, so candidate generation is EXACT (no recall loss).
+    4. candidate pairs: vectorized self-join on the prefix token, a < b,
+       deduped.
+    5. verify: two co-partitioned joins attach both docs' full token sets
+       (binary payload, never raw text); exact Jaccard computed inline.
+
+    Every stage is a linear shuffle; nothing corpus-sized ever reaches the
+    driver (the hot-token table is hot_k rows).
     """
+    docsets = _token_set_rows(docs_ds).materialize()
+    if docsets.count() == 0:
+        return _empty_pairs_ds()
+
+    # -- global token order: hot tokens (by document frequency) rank last
+    def tok_counts(t: pa.Table) -> pa.Table:
+        toks = t["toks"].combine_chunks()
+        vals = [np.frombuffer(toks[i].as_py(), dtype=np.int64) for i in range(len(toks))]
+        allv = np.concatenate(vals) if vals else np.empty(0, np.int64)
+        u, c = np.unique(allv, return_counts=True)
+        return pa.table({"tok": u, "n": c})
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        docsets.map_batches(tok_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tok", num_partitions=num_partitions)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    hot_tbl = (
+        counts.sort(["n", "tok"], descending=[True, False]).limit(hot_k).to_pandas()
+    )
+    # rank hot tokens ascending by (freq, hash) so the global order stays
+    # total and deterministic; rank 0 sorts first among hot
+    hot_tbl = hot_tbl.sort_values(["n", "tok"], ascending=[True, True])
+    hot_hashes = hot_tbl["tok"].to_numpy(np.int64)
+    hot_sorted_idx = np.argsort(hot_hashes)
+    hot_sorted = hot_hashes[hot_sorted_idx]
+    hot_rank_of_sorted = np.empty(len(hot_hashes), dtype=np.uint64)
+    hot_rank_of_sorted[hot_sorted_idx] = np.arange(len(hot_hashes), dtype=np.uint64)
+
     import ray
 
-    docs = docs_ds.select_columns(["doc_id", "text"])
-    all_sets = {}
-    for b in docs.iter_batches(batch_format="pyarrow", batch_size=None):
-        for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            all_sets[int(i)] = frozenset((t or "").split())
-    ref = ray.put(all_sets)
+    hot_ref = ray.put((hot_sorted, hot_rank_of_sorted))
 
-    class Compare:
-        def __init__(self, ref, threshold):
-            self.sets = ray.get(ref)
-            self.ids = np.array(sorted(self.sets), dtype=np.int64)
+    class PrefixRows:
+        def __init__(self, hot_ref, threshold):
+            self.hot, self.hot_rank = ray.get(hot_ref)
             self.t = threshold
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            a_out, b_out, j_out = [], [], []
-            for a, ta in zip(df["doc_id"], df["text"].fillna("")):
-                sa = frozenset(ta.split())
-                if not sa:
-                    continue
-                for b_id in self.ids[self.ids > int(a)]:
-                    sb = self.sets[int(b_id)]
-                    if not sb:
-                        continue
-                    inter = len(sa & sb)
-                    union = len(sa) + len(sb) - inter
-                    j = inter / union if union else 1.0
-                    if j >= self.t:
-                        a_out.append(int(a))
-                        b_out.append(int(b_id))
-                        j_out.append(j)
-            return pd.DataFrame(
-                {
-                    "a": np.array(a_out, dtype=np.int64),
-                    "b": np.array(b_out, dtype=np.int64),
-                    "jaccard": np.array(j_out, dtype=np.float64),
-                }
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            toks = t["toks"].combine_chunks()
+            out_tok, out_id = [], []
+            for i in range(len(ids)):
+                hs = np.frombuffer(toks[i].as_py(), dtype=np.int64)
+                u = hs.view(np.uint64)
+                # order keys, compared in uint64 space: non-hot = hash>>1
+                # (< 2^63), hot = 2^63 + rank (sorts after every non-hot)
+                keys = u >> np.uint64(1)
+                pos = np.searchsorted(self.hot, hs)
+                pos_c = np.minimum(pos, max(len(self.hot) - 1, 0))
+                is_hot = (len(self.hot) > 0) & (self.hot[pos_c] == hs)
+                if is_hot.any():
+                    keys = keys.copy()
+                    keys[is_hot] = _HOT_BASE + self.hot_rank[pos_c[is_hot]]
+                sz = len(hs)
+                p = min(int((1.0 - self.t) * sz + 1e-9) + 1, sz)
+                pref = np.argpartition(keys, p - 1)[:p] if p < sz else np.arange(sz)
+                out_tok.append(keys[pref].view(np.int64))
+                out_id.append(np.full(p, ids[i], dtype=np.int64))
+            if not out_tok:
+                return pa.table(
+                    {"tok": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {"tok": np.concatenate(out_tok), "doc_id": np.concatenate(out_id)}
             )
 
-    return docs.map_batches(
-        Compare,
-        fn_constructor_kwargs={"ref": ref, "threshold": threshold},
-        batch_format="pandas",
+    prefix = docsets.map_batches(
+        PrefixRows,
+        fn_constructor_kwargs={"hot_ref": hot_ref, "threshold": threshold},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
         concurrency=4,
         num_cpus=0.5,
+    ).materialize()
+
+    joined = prefix.join(
+        prefix,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("tok",),
+        left_suffix="_l",
+        right_suffix="_r",
+    )
+
+    def mk_pairs(t: pa.Table) -> pa.Table:
+        a = t["doc_id_l"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["doc_id_r"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = a < b
+        out = pa.table({"a": a[keep], "b": b[keep]})
+        return out.group_by(["a", "b"]).aggregate([])  # local pre-dedup
+
+    cands = (
+        joined.map_batches(mk_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["a", "b"], num_partitions=num_partitions)
+        .count()
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+    if cands.count() == 0:
+        return _empty_pairs_ds()
+
+    # -- verify: attach both token sets via co-partitioned joins (binary
+    # payload; candidate volume is prefix-bounded, not n²)
+    j1 = cands.join(
+        docsets,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("a",),
+        right_on=("doc_id",),
+    ).map_batches(
+        lambda t: pa.table({"a": t["a"], "b": t["b"], "toks_a": t["toks"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j2 = j1.join(
+        docsets,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("b",),
+        right_on=("doc_id",),
+    ).map_batches(
+        lambda t: pa.table(
+            {"a": t["a"], "b": t["b"], "toks_a": t["toks_a"], "toks_b": t["toks"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        ta = t["toks_a"].combine_chunks()
+        tb = t["toks_b"].combine_chunks()
+        ka, kb, jac = [], [], []
+        for i in range(len(a)):
+            sa = np.frombuffer(ta[i].as_py(), dtype=np.int64)
+            sb = np.frombuffer(tb[i].as_py(), dtype=np.int64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 1.0
+            if j >= threshold:
+                ka.append(int(a[i]))
+                kb.append(int(b[i]))
+                jac.append(j)
+        return pa.table(
+            {
+                "a": np.array(ka, dtype=np.int64),
+                "b": np.array(kb, dtype=np.int64),
+                "jaccard": np.array(jac, dtype=np.float64),
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _empty_pairs_ds():
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
     )

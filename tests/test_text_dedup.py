@@ -141,3 +141,112 @@ def test_jaccard_similar_pairs_exact(ray_session):
                 if jac >= 0.5:
                     want.add((ids[i], ids[j]))
     assert got == want
+
+
+def test_jaccard_pairs_random_corpus_vs_brute(ray_session):
+    """Prefix-filter join must be EXACT (same pair set + values) vs brute
+    force on randomized corpora, including heavy stopword skew."""
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        n = int(rng.integers(1, 15))
+        toks = list(rng.choice(vocab[:10], size=n))  # hot head: heavy reuse
+        toks += list(rng.choice(vocab, size=int(rng.integers(0, 6))))
+        rows.append((i, " ".join(toks)))
+    rows.append((60, ""))  # empty doc must be excluded
+    tbl = pa.table(
+        {
+            "doc_id": np.array([r[0] for r in rows], dtype=np.int64),
+            "text": [r[1] for r in rows],
+        }
+    )
+    for t in (0.3, 0.6, 0.85):
+        out = dd.jaccard_similar_pairs(
+            ray.data.from_arrow(tbl), threshold=t, num_partitions=2, hot_k=8
+        ).to_pandas()
+        got = {(a, b): j for a, b, j in zip(out["a"], out["b"], out["jaccard"])}
+        want = {}
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                sa, sb = set(rows[i][1].split()), set(rows[j][1].split())
+                if sa and sb:
+                    jac = len(sa & sb) / len(sa | sb)
+                    if jac >= t:
+                        want[(rows[i][0], rows[j][0])] = jac
+        assert set(got) == set(want), t
+        for k in want:
+            assert got[k] == pytest.approx(want[k]), (t, k)
+
+
+def test_jaccard_pairs_no_driver_materialization(ray_session, monkeypatch):
+    """Scale-guard: the pipeline must never pull the corpus to the driver
+    via iter_batches/take_all (only aggregated small results may)."""
+    import ray.data
+
+    docs = ray.data.from_arrow(docs_table())
+    forbidden = []
+    orig = ray.data.Dataset.iter_batches
+
+    def spy(self, *a, **kw):
+        forbidden.append(self)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(ray.data.Dataset, "iter_batches", spy)
+    out = dd.jaccard_similar_pairs(docs, threshold=0.5, num_partitions=2)
+    # only aggregated small results (the hot-token table) may stream to the
+    # driver — never anything carrying text or token sets
+    for ds in forbidden:
+        cols = set(ds.schema().names)
+        assert not ({"text", "toks"} & cols), cols
+    assert out.count() > 0
+
+
+def test_simhash_degenerate_skew(ray_session):
+    """200 identical docs + near-identical template variants: must produce
+    exact pair set without a bucket^2 blowup (distinct-signature banding)."""
+    texts = ["common template body words here again"] * 200
+    texts += ["common template body words here again extra"] * 3
+    texts += ["totally unrelated different content entirely now"]
+    tbl = pa.table(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+        }
+    )
+    sl = {}
+    out = dd.simhash_near_dups(
+        ray.data.from_arrow(tbl), max_hamming=3, num_partitions=2, skew_log=sl
+    ).to_pandas()
+    got = {(a, b): h for a, b, h in zip(out["a"], out["b"], out["hamming"])}
+    # brute-force oracle
+    sigs = [dd.simhash64(t) for t in texts]
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            h = bin(sigs[i] ^ sigs[j]).count("1")
+            if h <= 3:
+                want[(i, j)] = h
+    assert got == want
+    # the 200-identical group contributes C(200,2) hamming-0 pairs
+    assert sum(1 for h in got.values() if h == 0) >= 199 * 100
+
+
+def test_simhash_hot_bucket_cap_logged(ray_session):
+    """With a tiny max_bucket, hot buckets are quarantined and logged."""
+    rng = np.random.default_rng(3)
+    # many distinct docs that still share a 16-bit band by chance is hard to
+    # force; instead force via max_bucket=0 -> every bucket is "hot"
+    texts = [" ".join(rng.choice(["a", "b", "c", "d", "e"], 8)) for _ in range(30)]
+    tbl = pa.table(
+        {"doc_id": np.arange(30, dtype=np.int64), "text": texts}
+    )
+    sl = {}
+    out = dd.simhash_near_dups(
+        ray.data.from_arrow(tbl), max_hamming=3, num_partitions=2,
+        max_bucket=1, skew_log=sl,
+    ).to_pandas()
+    # identical-signature pairs survive (they bypass banding); cross-sig
+    # candidates from hot buckets are dropped and logged
+    assert (out["hamming"] == 0).all()
+    assert sl.get("hot_buckets", 0) >= 1
