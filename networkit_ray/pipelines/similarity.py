@@ -96,6 +96,53 @@ def knn_brute(emb_ds, queries_ds, k=10, id_col="vec_id", col="embedding"):
     )
 
 
+def kmeans_centroids(
+    emb_ds, num_centroids=16, iters=5, id_col="vec_id", col="embedding"
+):
+    """Deterministic distributed Lloyd iterations on the unit sphere
+    (spherical k-means): init = normalized first ``num_centroids`` corpus
+    vectors, then ``iters`` rounds of {assign each vector to its nearest
+    centroid inside map_batches, emit per-batch partial (sum, count)
+    combiners, reduce the tiny (k x d) partials on the driver, renormalize}.
+    Shuffle-free: each round is one streaming pass; only k x d floats ever
+    reach the driver.  Returns the (k, d) centroid matrix."""
+    import ray
+
+    _, init = _load_embeddings(emb_ds.limit(num_centroids), id_col, col)
+    cent = _normalize(init)
+    k, d = cent.shape
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial_fn(batch: pa.Table, _ref=ref) -> pa.Table:
+            cent_l = ray.get(_ref)  # plasma broadcast, fetched per task
+            m = _normalize(_emb_matrix(batch, col))
+            assign = np.argmax(m @ cent_l.T, axis=1)
+            sums = np.zeros_like(cent_l)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=len(cent_l))
+            return pa.table(
+                {
+                    "sums": pa.array([sums.tobytes()], type=pa.large_binary()),
+                    "counts": pa.array([counts.tobytes()], type=pa.large_binary()),
+                }
+            )
+
+        parts = emb_ds.map_batches(
+            partial_fn, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()  # one tiny row per batch: (k x d) partials
+        sums = np.zeros((k, d))
+        counts = np.zeros(k, dtype=np.int64)
+        for row in parts:
+            sums += np.frombuffer(row["sums"], dtype=np.float64).reshape(k, d)
+            counts += np.frombuffer(row["counts"], dtype=np.int64)
+        nonempty = counts > 0
+        new = cent.copy()
+        new[nonempty] = sums[nonempty] / counts[nonempty, None]
+        cent = _normalize(new)
+    return cent
+
+
 def knn_ivf(
     emb_ds,
     queries_ds,
@@ -104,18 +151,31 @@ def knn_ivf(
     nprobe=4,
     id_col="vec_id",
     col="embedding",
+    centroids: str = "head",
+    kmeans_iters: int = 5,
 ):
-    """IVF-bucketed ANN: centroids = normalized first ``num_centroids``
-    corpus vectors (deterministic); vectors searched only in the nprobe
-    buckets nearest each query. Returns (query_id, vec_id, sim)."""
+    """IVF-bucketed ANN: vectors are searched only in the ``nprobe`` buckets
+    nearest each query. Returns (query_id, vec_id, sim).
+
+    ``centroids="head"``: normalized first ``num_centroids`` corpus vectors
+    — fully deterministic AND mirrorable in SQL (the driver-oracle path).
+    ``centroids="kmeans"``: distributed spherical Lloyd rounds
+    (kmeans_centroids) — the quantizer a real deployment uses; recall@k is
+    asserted against brute force in tests.
+    """
     import ray
 
-    cent_ids, cent = _load_embeddings(emb_ds.limit(num_centroids), id_col, col)
-    cent = _normalize(cent)
+    if centroids == "kmeans":
+        cent = kmeans_centroids(emb_ds, num_centroids, kmeans_iters, id_col, col)
+    else:
+        _, cent0 = _load_embeddings(emb_ds.limit(num_centroids), id_col, col)
+        cent = _normalize(cent0)
     q_ids, q_mat = _load_embeddings(queries_ds, id_col, col)
     qn = _normalize(q_mat)
-    # which buckets each query probes
-    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+    # which buckets each query probes — stable sort so exact-tie ordering is
+    # deterministic (centroid index ascending), matching the SQL oracle's
+    # ROW_NUMBER() OVER (ORDER BY sim DESC, cidx ASC)
+    probes = np.argsort(-(qn @ cent.T), axis=1, kind="stable")[:, :nprobe]
     ref = ray.put((q_ids, qn, cent, probes))
 
     class Score:
@@ -167,37 +227,78 @@ def knn_ivf(
     return local.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+def _block_refs(materialized_ds):
+    """Object-store block handles of a materialized Dataset — refs only,
+    no data touches the driver."""
+    try:
+        bundles = materialized_ds.iter_internal_ref_bundles()
+        return [r for b in bundles for r in b.block_refs]
+    except AttributeError:  # older Ray
+        return materialized_ds.get_internal_block_refs()
+
+
 def cosine_near_dup_pairs(emb_ds, threshold=0.95, id_col="vec_id", col="embedding"):
     """-> Dataset(a, b, sim): all pairs with cosine >= threshold, a < b.
 
-    Corpus normalized matrix broadcast once; each batch matmuls against it.
-    O(n²) flops but only threshold-crossing pairs are materialized.
+    Block x block self-comparison: the corpus is materialized ONCE in the
+    object store and only its block *refs* are shipped to the worker pool;
+    each batch task streams the blocks back out of plasma (zero-copy on the
+    owning node) and matmuls against them.  The driver never holds vectors
+    — worker memory is O(batch + one block), and the exchange volume is the
+    unavoidable O(n_batches x corpus) of an exact all-pairs kernel.  For
+    approximate near-dup at 100-TB scale route through knn_ivf buckets or
+    minhash instead; this is the exact, SQL-checkable kernel.
     """
     import ray
 
-    all_ids, all_mat = _load_embeddings(emb_ds, id_col, col)
-    ref = ray.put((all_ids, _normalize(all_mat)))
+    mat = emb_ds.materialize()
+    refs = _block_refs(mat)
 
     class Pairs:
-        def __init__(self):
-            self.ids, self.m = ray.get(ref)
+        def __init__(self, refs):
+            self.refs = refs
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             m = _normalize(_emb_matrix(batch, col))
             ids = batch[id_col].to_numpy(zero_copy_only=False)
-            sims = m @ self.m.T
-            bi, bj = np.nonzero(sims >= threshold)
-            a = ids[bi]
-            b = self.ids[bj]
-            keep = a < b
-            return pa.table(
-                {
-                    "a": a[keep].astype(np.int64),
-                    "b": b[keep].astype(np.int64),
-                    "sim": sims[bi, bj][keep],
-                }
-            )
+            out = []
+            for ref in self.refs:
+                blk = ray.get(ref)
+                if blk.num_rows == 0:
+                    continue
+                ids2 = blk[id_col].to_numpy(zero_copy_only=False)
+                m2 = _normalize(_emb_matrix(blk, col))
+                sims = m @ m2.T
+                bi, bj = np.nonzero(sims >= threshold)
+                if len(bi) == 0:
+                    continue
+                a = ids[bi]
+                b = ids2[bj]
+                keep = a < b  # global de-dup: each unordered pair kept once
+                out.append(
+                    pa.table(
+                        {
+                            "a": a[keep].astype(np.int64),
+                            "b": b[keep].astype(np.int64),
+                            "sim": sims[bi, bj][keep],
+                        }
+                    )
+                )
+            if not out:
+                return pa.table(
+                    {
+                        "a": pa.array([], pa.int64()),
+                        "b": pa.array([], pa.int64()),
+                        "sim": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.concat_tables(out)
 
-    return emb_ds.map_batches(
-        Pairs, batch_format="pyarrow", zero_copy_batch=True, concurrency=4, num_cpus=0.5
+    return mat.map_batches(
+        Pairs,
+        fn_constructor_kwargs={"refs": refs},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=4,
+        num_cpus=0.5,
     )

@@ -93,3 +93,57 @@ def test_frame_sampler(ray_session):
     frames = mm.sample_frames(media, every=5).to_pandas()
     assert (frames["frame_idx"] % 5 == 0).all()
     assert set(frames["media_id"]) == set(range(8))
+
+
+def test_knn_ivf_kmeans_recall(ray_session):
+    """Real quantizer (distributed Lloyd rounds): recall@10 vs brute force
+    must reach 0.9 at nprobe=4/16 on clustered data."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 16)) * 4
+    m = np.vstack([c + rng.normal(size=(40, 16)) for c in centers])
+    tbl = pa.table(
+        {
+            "vec_id": np.arange(len(m), dtype=np.int64),
+            "embedding": [row.astype(np.float32).tolist() for row in m],
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    queries = ray.data.from_arrow(tbl.slice(0, 10))
+    out = sim.knn_ivf(
+        ds, queries, k=10, num_centroids=16, nprobe=4, centroids="kmeans"
+    ).to_pandas()
+    m64 = m.astype(np.float64)
+    hits = total = 0
+    for q in range(10):
+        got = set(out[out["query_id"] == q]["vec_id"].tolist())
+        want = set(brute_topk(m64, q, 10))
+        hits += len(got & want)
+        total += 10
+    assert hits / total >= 0.9, hits / total
+
+
+def test_kmeans_centroids_deterministic(ray_session):
+    tbl, _ = emb_table(n=80)
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    c1 = sim.kmeans_centroids(ds, num_centroids=8, iters=3)
+    c2 = sim.kmeans_centroids(ds, num_centroids=8, iters=3)
+    np.testing.assert_array_equal(c1, c2)
+
+
+def test_cosine_pairs_no_driver_materialization(ray_session, monkeypatch):
+    """Scale-guard: the exact all-pairs kernel must never pull the corpus
+    matrix onto the driver (_load_embeddings is reserved for small sides)."""
+    tbl, m = emb_table()
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    calls = []
+    orig = sim._load_embeddings
+
+    def spy(*a, **kw):
+        calls.append(a)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(sim, "_load_embeddings", spy)
+    out = sim.cosine_near_dup_pairs(ds, threshold=0.999).to_pandas()
+    assert not calls  # no driver-side embedding materialization at all
+    got = {(a, b) for a, b in zip(out["a"], out["b"])}
+    assert {(0, 10), (0, 11), (1, 12), (10, 11)} <= got
