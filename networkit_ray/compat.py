@@ -127,7 +127,28 @@ def apply_patches() -> None:
         # at all) — is therefore guarded at the call sites instead (see
         # `_empty_side_guard` docstrings in pipelines/*).
         _PATCHED = True
-    except Exception:  # pragma: no cover - future Ray versions
-        # If internals moved, leave Ray untouched; the library still works
-        # for non-degenerate partitionings.
-        pass
+    except Exception as exc:  # pragma: no cover - future Ray versions
+        # If internals moved, leave Ray untouched — but SAY SO: without the
+        # patches, skewed/empty-block hash joins resurface as sporadic
+        # ArrowInvalid failures that look like data bugs.
+        import warnings
+
+        warnings.warn(
+            f"networkit_ray.compat: Ray {ray.__version__} hash-shuffle "
+            f"internals changed; empty-block join workarounds NOT applied "
+            f"({exc!r}). Skewed joins may fail with ArrowInvalid — "
+            f"re-validate the upstream fix status for this Ray version.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return
+    if not ray.__version__.startswith("2.49"):
+        import warnings
+
+        warnings.warn(
+            f"networkit_ray.compat: empty-block shuffle patches were "
+            f"written against Ray 2.49.x but applied on {ray.__version__}; "
+            f"verify they are still needed/correct.",
+            RuntimeWarning,
+            stacklevel=2,
+        )

@@ -121,6 +121,105 @@ def katz_centrality(
     return scores
 
 
+def eigenvector_centrality(
+    edges_ds,
+    vertices_ds=None,
+    iters: int = 10,
+    num_partitions: int = 8,
+):
+    """Power iteration for the dominant eigenvector: x_{k+1} = Aᵀx_k with
+    x_0 = 1, run a FIXED number of iterations, L2-normalized once at the
+    end.  Skipping per-iteration normalization is mathematically identical
+    for fixed k (scaling commutes with the linear map; numerically safe at
+    float64 for the tested iteration counts) and keeps the SQL oracle a
+    plain recursive aggregation.  Pass a symmetrized edge table for the
+    undirected variant (the reference's EigenvectorCentrality).
+    -> Dataset(vid, x)."""
+    if vertices_ds is None:
+        vertices_ds = vertices_from_edges(edges_ds)
+    verts = vertices_ds.select_columns(["vid"]).materialize()
+    edges = edges_ds.select_columns(["src", "dst", "w"]).materialize()
+
+    scores = verts.map_batches(
+        lambda t: pa.table(
+            {"vid": t["vid"], "x": pa.array(np.ones(t.num_rows, dtype=np.float64))}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    def _contrib(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "vid": t["dst"],
+                "c": pc.multiply(pc.cast(t["w"], pa.float64()), t["x"]),
+            }
+        )
+        return (
+            out.group_by("vid").aggregate([("c", "sum")]).rename_columns(["vid", "c"])
+        )
+
+    for _ in range(iters):
+        contribs = (
+            edges.join(
+                scores,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("src",),
+                right_on=("vid",),
+            )
+            .map_batches(_contrib, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("vid", num_partitions=num_partitions)
+            .aggregate(Sum("c", alias_name="c"))
+        )
+        scores = (
+            verts.join(
+                contribs,
+                join_type="left_outer",
+                num_partitions=num_partitions,
+                on=("vid",),
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "vid": t["vid"],
+                        "x": pc.fill_null(pc.cast(t["c"], pa.float64()), 0.0),
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .materialize()
+        )
+
+    # final L2 normalization: one scalar aggregate + one stateless map
+    sq = scores.map_batches(
+        lambda t: pa.table(
+            {
+                "s": pa.array(
+                    [
+                        float(
+                            np.square(
+                                t["x"].combine_chunks().to_numpy(zero_copy_only=False)
+                            ).sum()
+                        )
+                    ]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).sum("s")
+    norm = float(np.sqrt(sq)) if sq else 1.0
+    if norm == 0.0:
+        norm = 1.0
+    return scores.map_batches(
+        lambda t: pa.table({"vid": t["vid"], "x": pc.divide(t["x"], norm)}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def local_clustering_coefficient(edges_ds, vertices_ds=None, num_partitions: int = 8):
     """lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)); 0 for deg < 2."""
     from networkit_ray.pipelines.triangles import triangle_counts

@@ -129,12 +129,38 @@ def _cc_hashmin(canon, vertices_ds, num_partitions, max_iter):
 
 
 def _local_forest(t: pa.Table) -> pa.Table:
-    """One edge block -> (src, dst) equivalence pairs vid -> local min root."""
-    uf = UnionFind()
-    uf.union_arrays(
-        t["src"].to_numpy(zero_copy_only=False), t["dst"].to_numpy(zero_copy_only=False)
-    )
-    vids, roots = uf.roots()
+    """One edge block -> (vid, local-min-root) equivalence pairs.
+
+    Fully vectorized local contraction: compact vids with np.unique, then
+    hash-min rounds with pointer jumping (new = min(new, new[new])) until
+    stable — O(log n) numpy passes, no per-edge Python (the round-1
+    union-find loop crossed the interpreter once per edge)."""
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    if len(src) == 0:
+        return pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+    vids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    si, di = inv[: len(src)], inv[len(src) :]
+    lab = np.arange(len(vids), dtype=np.int64)
+    while True:
+        # hook: roots of both endpoints point to the min of the two roots
+        lu, lv = lab[si], lab[di]
+        m = np.minimum(lu, lv)
+        new = lab.copy()
+        np.minimum.at(new, lu, m)
+        np.minimum.at(new, lv, m)
+        # full shortcut (path compression): O(log n) O(n)-passes
+        while True:
+            nn = new[new]
+            if np.array_equal(nn, new):
+                break
+            new = nn
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    roots = vids[lab]  # min index == min vid (vids sorted)
     keep = vids != roots  # self pairs carry no information
     return pa.table({"src": vids[keep], "dst": roots[keep]})
 

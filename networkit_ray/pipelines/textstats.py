@@ -51,18 +51,31 @@ class TextStats:
         n_tokens = toks.str.len().fillna(0).astype(np.int64)
         bpe_tokens = text.str.count(self.bpe).astype(np.int64)
         n_nonspace = text.str.replace(r"\s", "", regex=True).str.len().astype(np.int64)
-        stop = self.stop
-        stop_hits = toks.map(lambda ts: sum(t in stop for t in ts))
+        # one explode, then vectorized membership per word set (the round-1
+        # version ran a Python lambda over every token of every doc)
+        ex = toks.explode()  # empty docs keep one NaN row -> isin()==False
+        grp = ex.index
+
+        def _hits(words) -> pd.Series:
+            return (
+                ex.isin(words)
+                .groupby(grp)
+                .sum()
+                .reindex(toks.index, fill_value=0)
+                .astype(np.int64)
+            )
+
+        stop_hits = _hits(self.stop)
         denom = n_tokens.where(n_tokens > 0, 1)
         stop_ratio = (stop_hits / denom).astype(np.float64)
         quality = np.minimum(1.0, n_tokens / 100.0) * (
             1.0 - np.abs(stop_ratio - 0.4)
         )
-        counts = {
-            lang: toks.map(lambda ts, m=m: sum(t in m for t in ts))
-            for lang, m in self.markers.items()
-        }
-        en, es, de = counts["en"], counts["es"], counts["de"]
+        en, es, de = (
+            _hits(self.markers["en"]),
+            _hits(self.markers["es"]),
+            _hits(self.markers["de"]),
+        )
         pred = np.where(
             (en > es) & (en > de),
             "en",

@@ -1,0 +1,140 @@
+"""Frontier-traversal family: multi-source BFS depths, sampled closeness
+centrality, and the ANF/Flajolet-Martin neighborhood-function sketch.
+
+Reference counterparts (SURVEY.md §2.3; /root/reference is empty — behavior
+pinned against networkx + DuckDB recursive-CTE oracles, SURVEY.md §0):
+graph/BFS, centrality/Closeness (sampled variant), distance/
+NeighborhoodFunctionApproximation (ANF, Palmer/Gibbons/Faloutsos KDD'02).
+
+All three run on the BSP CSR actor pool (state/csr.py): BFS is a frontier
+kernel (each round ships only the touched destination-index sets, one array
+per partition pair); ANF ships fixed-width bitmask matrices with a
+bitwise-OR merge — the sketch-aggregate pattern.  Graph build is one
+streaming Dataset feed, reused across all sources / rounds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from networkit_ray.stages.graphops import (
+    canonicalize_undirected,
+    symmetrize,
+    vertices_from_edges,
+)
+
+
+def _graph(edges_ds, vertices_ds, num_partitions, undirected, actor_num_cpus=0.25):
+    from networkit_ray.state.csr import BSPGraph
+
+    if undirected:
+        edges_ds = symmetrize(canonicalize_undirected(edges_ds, weight="one"))
+    if vertices_ds is None:
+        vertices_ds = None  # sinks are discovered from routes; sources own
+    return BSPGraph(edges_ds, vertices_ds, num_partitions, actor_num_cpus)
+
+
+def bfs_depths(
+    edges_ds,
+    sources,
+    vertices_ds=None,
+    num_partitions: int = 8,
+    undirected: bool = True,
+    max_depth: int | None = None,
+):
+    """-> (Dataset(vid, depth), rounds): minimum hop distance from the
+    source set; unreached vertices carry depth = -1.  ``sources`` is an
+    int sequence of vids."""
+    g = _graph(edges_ds, vertices_ds, num_partitions, undirected)
+    try:
+        depths, rounds = g.bfs(
+            np.asarray(list(sources), dtype=np.int64), max_depth=max_depth
+        )
+        return depths, rounds
+    finally:
+        g.shutdown()
+
+
+def closeness_sampled(
+    edges_ds,
+    sources=None,
+    n_sources: int = 8,
+    vertices_ds=None,
+    num_partitions: int = 8,
+    undirected: bool = True,
+):
+    """Exact closeness centrality for a deterministic sample of source
+    vertices (the ``n_sources`` smallest vids unless ``sources`` given):
+    closeness(s) = (reached - 1) / sum of BFS depths from s  (0 when s
+    reaches nothing).  One graph build serves every source's BFS.
+    -> Dataset(vid, closeness, reached)."""
+    import ray.data
+
+    if vertices_ds is None:
+        vertices_ds = vertices_from_edges(edges_ds)
+    verts = vertices_ds.select_columns(["vid"]).materialize()
+    if sources is None:
+        sources = [
+            int(r["vid"])
+            for r in verts.sort("vid").limit(n_sources).take_all()
+        ]
+    g = _graph(edges_ds, verts, num_partitions, undirected)
+    rows_vid, rows_clo, rows_reach = [], [], []
+    try:
+        for s in sources:
+            g.bfs(np.asarray([s], dtype=np.int64))
+            sum_d, reached = g.bfs_stats()
+            clo = (reached - 1) / sum_d if sum_d > 0 else 0.0
+            rows_vid.append(int(s))
+            rows_clo.append(float(clo))
+            rows_reach.append(int(reached))
+    finally:
+        g.shutdown()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": np.array(rows_vid, dtype=np.int64),
+                "closeness": np.array(rows_clo, dtype=np.float64),
+                "reached": np.array(rows_reach, dtype=np.int64),
+            }
+        )
+    )
+
+
+def neighborhood_function(
+    edges_ds,
+    vertices_ds=None,
+    max_dist: int = 8,
+    registers: int = 64,
+    seed: int = 42,
+    num_partitions: int = 8,
+    undirected: bool = True,
+):
+    """ANF sketch (Palmer/Gibbons/Faloutsos): estimated number of vertex
+    pairs within distance t for t = 1..max_dist, via per-vertex
+    Flajolet-Martin bitmask sketches merged with bitwise OR along edges
+    each round — the one aggregate whose merge is a pure OR, so a BSP round
+    ships only fixed-width uint64 matrices.
+
+    -> (Dataset(t, est_pairs), effective_diameter) where
+    effective_diameter = smallest t with est_pairs(t) >= 0.9 * est_pairs(max_dist).
+    Estimates carry the standard FM relative error ~1.3/sqrt(registers).
+    """
+    import ray.data
+
+    g = _graph(edges_ds, vertices_ds, num_partitions, undirected)
+    try:
+        totals = g.anf(max_dist=max_dist, registers=registers, seed=seed)
+    finally:
+        g.shutdown()
+    ts = np.arange(1, len(totals) + 1, dtype=np.int64)
+    est = np.asarray(totals, dtype=np.float64)
+    eff = int(ts[-1])
+    if est[-1] > 0:
+        for t, e in zip(ts, est):
+            if e >= 0.9 * est[-1]:
+                eff = int(t)
+                break
+    ds = ray.data.from_arrow(pa.table({"t": ts, "est_pairs": est}))
+    return ds, eff

@@ -27,7 +27,13 @@ def tumbling_window(events_ds, window_s: int = 3600, num_partitions: int = 8):
     us = np.int64(window_s) * 1_000_000
 
     def pre(t: pa.Table) -> pa.Table:
-        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        col = t["ts"].combine_chunks()
+        if pa.types.is_timestamp(col.type):
+            # normalize to microsecond ticks regardless of the writer's
+            # resolution (ns-typed parquet would silently shrink windows
+            # 1000x if raw ticks were used)
+            col = col.cast(pa.timestamp("us"))
+        ts = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
         win = (ts // us) * us
         out = pa.table(
             {
@@ -57,7 +63,11 @@ def session_windows(events_ds, gap_s: int = 1800, num_partitions: int = 8):
 
     def sess(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("ts").reset_index(drop=True)
-        ts = df["ts"].astype("int64").to_numpy()
+        ts_col = df["ts"]
+        if pd.api.types.is_datetime64_any_dtype(ts_col):
+            # microsecond ticks independent of the stored resolution
+            ts_col = ts_col.dt.as_unit("us")
+        ts = ts_col.astype("int64").to_numpy()
         new_sess = np.ones(len(ts), dtype=bool)
         new_sess[1:] = (ts[1:] - ts[:-1]) > gap_us
         sid = np.cumsum(new_sess) - 1

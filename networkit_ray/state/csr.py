@@ -108,14 +108,23 @@ class CSRPartition:
         self._edge_chunks = []
         self._src = src
 
-        # static routing: group edges by destination partition
+        # static routing: group edges by destination partition.  Unique-dst
+        # compaction uses pd.factorize (hash-based, O(E)) instead of
+        # np.unique (sort-based, O(E log E)); out_vids order is arbitrary
+        # but consistent with out_idx, which is all the receiving
+        # partition's searchsorted translation needs.
+        import pandas as pd
+
         dpart = _part(dst, self.P)
         self._route_raw = []  # per target t: (src_vids_t, w_t, out_idx_t, n_out)
         out_vids_all = []
         for t_id in range(self.P):
             pos = np.flatnonzero(dpart == t_id)
-            out_vids, inv = np.unique(dst[pos], return_inverse=True)
-            self._route_raw.append((src[pos], w[pos], inv.astype(np.int64), len(out_vids)))
+            inv, out_vids = pd.factorize(dst[pos], sort=False)
+            out_vids = np.asarray(out_vids, dtype=np.int64)
+            self._route_raw.append(
+                (src[pos], w[pos], inv.astype(np.int64), len(out_vids))
+            )
             out_vids_all.append(out_vids)
         if self.P == 1:
             return out_vids_all[0]
@@ -284,6 +293,112 @@ class CSRPartition:
 
     def labels_table(self) -> pa.Table:
         return pa.table({"vid": self.owned, "label": self.label})
+
+    # ---- BFS frontier kernel ----------------------------------------------
+    def bfs_init(self, sources: np.ndarray) -> int:
+        """Multi-source BFS: depth 0 at owned sources; frontier = those."""
+        self.depth = np.full(self.n_owned, -1, dtype=np.int64)
+        self._bfs_round = 0
+        sources = np.asarray(sources, dtype=np.int64)
+        if self.n_owned == 0 or len(sources) == 0:
+            self._bfs_frontier = np.empty(0, dtype=np.int64)
+            return 0
+        pos = np.minimum(np.searchsorted(self.owned, sources), self.n_owned - 1)
+        hit = self.owned[pos] == sources
+        mine = np.unique(pos[hit])
+        self.depth[mine] = 0
+        self._bfs_frontier = mine
+        return int(len(mine))
+
+    def bfs_messages(self):
+        """Per target partition: the SET of out-vid indices reached from the
+        current frontier — one int64 index array per partition pair; no
+        depths ship (synchronous rounds make the level implicit)."""
+        flag = np.zeros(self.n_owned, dtype=bool)
+        flag[self._bfs_frontier] = True
+        out = []
+        for src_local, _w, out_idx, n_out in self.route:
+            if n_out == 0:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            mask = flag[src_local]
+            out.append(
+                np.unique(out_idx[mask]) if mask.any() else np.empty(0, np.int64)
+            )
+        return out[0] if self.P == 1 else tuple(out)
+
+    def bfs_apply(self, *msgs) -> int:
+        self._bfs_round += 1
+        cand = [self.in_idx[s][m] for s, m in enumerate(msgs) if len(m)]
+        if cand:
+            c = np.unique(np.concatenate(cand))
+            newly = c[self.depth[c] < 0]
+            self.depth[newly] = self._bfs_round
+        else:
+            newly = np.empty(0, dtype=np.int64)
+        self._bfs_frontier = newly
+        return int(len(newly))
+
+    def depths_table(self) -> pa.Table:
+        return pa.table({"vid": self.owned, "depth": self.depth})
+
+    def bfs_stats_part(self) -> tuple[float, int]:
+        """(sum of finite depths, reached count) for closeness."""
+        reached = self.depth >= 0
+        return float(self.depth[reached].sum()), int(reached.sum())
+
+    # ---- ANF / Flajolet-Martin neighborhood sketch ------------------------
+    def anf_init(self, registers: int, seed: int) -> float:
+        """Per-vertex FM bitmasks: register r of vertex v sets bit index =
+        trailing zeros of hash(v, r, seed) — the geometric(1/2) draw."""
+        import pandas as pd
+
+        R = registers
+        self._anf_R = R
+        n = self.n_owned
+        self.anf = np.zeros((n, R), dtype=np.uint64)
+        for r in range(R):
+            h = pd.util.hash_array(
+                self.owned * np.int64(2654435761) + np.int64(r * 40503 + seed)
+            )
+            lb = h & (np.uint64(0) - h)  # lowest set bit (0 iff h == 0)
+            # log2 of a power of two is exact in float64
+            tz = np.where(
+                h == 0, 62.0, np.log2(np.maximum(lb, 1).astype(np.float64))
+            )
+            self.anf[:, r] = np.uint64(1) << np.minimum(tz, 62.0).astype(np.uint64)
+        return self._anf_estimate_total()
+
+    def _anf_estimate_total(self) -> float:
+        """Sum over owned vertices of the FM cardinality estimate
+        2^mean(lowest-unset-bit) / 0.77351."""
+        if self.n_owned == 0:
+            return 0.0
+        inv = np.invert(self.anf)  # lowest unset bit of x = lowest set of ~x
+        lb = inv & (np.uint64(0) - inv)
+        b = np.where(inv == 0, 64.0, np.log2(np.maximum(lb, 1).astype(np.float64)))
+        est = (2.0 ** b.mean(axis=1)) / 0.77351
+        return float(est.sum())
+
+    def anf_messages(self):
+        """Per target: (n_out, R) OR-merged bitmask matrix — the sketch
+        aggregate whose merge is a single vectorized bitwise OR."""
+        out = []
+        for src_local, _w, out_idx, n_out in self.route:
+            if n_out == 0:
+                out.append(np.empty((0, self._anf_R), dtype=np.uint64))
+                continue
+            m = np.zeros((n_out, self._anf_R), dtype=np.uint64)
+            np.bitwise_or.at(m, out_idx, self.anf[src_local])
+            out.append(m)
+        return out[0] if self.P == 1 else tuple(out)
+
+    def anf_apply(self, *msgs) -> float:
+        for s, m in enumerate(msgs):
+            if len(m):
+                idx = self.in_idx[s]  # unique per route: fancy |= is safe
+                self.anf[idx] = self.anf[idx] | m
+        return self._anf_estimate_total()
 
     # ---- lineage / checkpoint --------------------------------------------
     def checkpoint(self, run_dir: str, it: int, job_id: str, kind: str = "score"):
@@ -506,64 +621,125 @@ class BSPGraph:
             )
         return self._collect("scores_table"), it
 
-    # ---- connected components (hash-min) ----------------------------------
-    def cc_hashmin(self, max_iter=200, stats=None):
+    # ---- label-kernel loop (shared by CC hash-min and sync PLP) -----------
+    def _label_loop(
+        self, msg_method: str, apply_method: str, max_iter, fixed_iters, stats
+    ):
+        """Pipelined BSP label rounds (same scheme as pagerank's loop): the
+        driver enqueues rounds ahead — per-actor serial execution order IS
+        the barrier — and only synchronizes on the changed-counters every
+        CHECK rounds.  Convergence mode may overshoot by up to CHECK-1
+        rounds; both kernels are fixpoint-stable (changed==0 => further
+        rounds are identity), so the overshoot only costs wall time, never
+        changes the answer."""
         P, actors = self.P, self.actors
         ray.get([a.lab_init.remote() for a in actors])
+        CHECK = 4
         rounds = 0
-        while rounds < max_iter:
+        iters_target = fixed_iters if fixed_iters is not None else max_iter
+        pending: dict[int, list] = {}
+        t_loop = time.perf_counter()
+        while rounds < iters_target:
             rounds += 1
-            t0 = time.perf_counter()
             if P == 1:
-                msg_refs = [[actors[0].cc_messages.remote()]]
+                msg_refs = [[getattr(actors[0], msg_method).remote()]]
             else:
                 msg_refs = [
-                    list(a.cc_messages.options(num_returns=P).remote())
+                    list(getattr(a, msg_method).options(num_returns=P).remote())
                     for a in actors
                 ]
-            changed = sum(
+            pending[rounds] = [
+                getattr(actors[t], apply_method).remote(
+                    *[msg_refs[s][t] for s in range(P)]
+                )
+                for t in range(P)
+            ]
+            if fixed_iters is None and (rounds % CHECK == 0 or rounds == iters_target):
+                changed = None
+                for k in sorted(pending):
+                    changed = sum(ray.get(pending.pop(k)))
+                if changed == 0:
+                    break
+        for k in sorted(pending):
+            ray.get(pending.pop(k))
+        if stats is not None:
+            stats.setdefault("iter_wall_s", []).append(time.perf_counter() - t_loop)
+        return self._collect("labels_table"), rounds
+
+    # ---- BFS (multi-source frontier) --------------------------------------
+    def bfs(self, sources: np.ndarray, max_depth=None, stats=None):
+        """Synchronous frontier rounds until the frontier empties (or
+        max_depth).  Rounds are driver-synced on the newly-reached counter —
+        the frontier-empty test IS the termination, so no pipelining
+        overshoot is possible or needed; per-round payload is only the
+        touched destination-index sets."""
+        P, actors = self.P, self.actors
+        ray.get([a.bfs_init.remote(sources) for a in actors])
+        rounds = 0
+        limit = max_depth if max_depth is not None else 2**62
+        t0 = time.perf_counter()
+        while rounds < limit:
+            rounds += 1
+            if P == 1:
+                msg_refs = [[actors[0].bfs_messages.remote()]]
+            else:
+                msg_refs = [
+                    list(a.bfs_messages.options(num_returns=P).remote())
+                    for a in actors
+                ]
+            newly = sum(
                 ray.get(
                     [
-                        actors[t].cc_apply.remote(*[msg_refs[s][t] for s in range(P)])
+                        actors[t].bfs_apply.remote(*[msg_refs[s][t] for s in range(P)])
                         for t in range(P)
                     ]
                 )
             )
-            if stats is not None:
-                stats.setdefault("iter_wall_s", []).append(time.perf_counter() - t0)
-            if changed == 0:
+            if newly == 0:
                 break
-        return self._collect("labels_table"), rounds
+        if stats is not None:
+            stats.setdefault("iter_wall_s", []).append(time.perf_counter() - t0)
+        return self._collect("depths_table"), rounds
+
+    def bfs_stats(self) -> tuple[float, int]:
+        """(sum of finite depths, reached count) over the whole graph —
+        the closeness numerator/denominator after a bfs() run."""
+        parts = ray.get([a.bfs_stats_part.remote() for a in self.actors])
+        return sum(p[0] for p in parts), sum(p[1] for p in parts)
+
+    # ---- ANF neighborhood-function sketch ---------------------------------
+    def anf(self, max_dist=8, registers=64, seed=42):
+        """Run max_dist OR-merge rounds; returns [est_pairs(t)] for
+        t=1..max_dist (sum over vertices of per-vertex FM estimates)."""
+        P, actors = self.P, self.actors
+        ray.get([a.anf_init.remote(registers, seed) for a in actors])
+        totals = []
+        for _ in range(max_dist):
+            if P == 1:
+                msg_refs = [[actors[0].anf_messages.remote()]]
+            else:
+                msg_refs = [
+                    list(a.anf_messages.options(num_returns=P).remote())
+                    for a in actors
+                ]
+            ests = ray.get(
+                [
+                    actors[t].anf_apply.remote(*[msg_refs[s][t] for s in range(P)])
+                    for t in range(P)
+                ]
+            )
+            totals.append(float(sum(ests)))
+        return totals
+
+    # ---- connected components (hash-min) ----------------------------------
+    def cc_hashmin(self, max_iter=200, stats=None):
+        return self._label_loop("cc_messages", "cc_apply", max_iter, None, stats)
 
     # ---- synchronous PLP ---------------------------------------------------
     def plp(self, max_iter=100, fixed_iters=None, stats=None):
-        P, actors = self.P, self.actors
-        ray.get([a.lab_init.remote() for a in actors])
-        rounds = 0
-        iters_target = fixed_iters if fixed_iters is not None else max_iter
-        while rounds < iters_target:
-            rounds += 1
-            t0 = time.perf_counter()
-            if P == 1:
-                msg_refs = [[actors[0].plp_messages.remote()]]
-            else:
-                msg_refs = [
-                    list(a.plp_messages.options(num_returns=P).remote())
-                    for a in actors
-                ]
-            changed = sum(
-                ray.get(
-                    [
-                        actors[t].plp_apply.remote(*[msg_refs[s][t] for s in range(P)])
-                        for t in range(P)
-                    ]
-                )
-            )
-            if stats is not None:
-                stats.setdefault("iter_wall_s", []).append(time.perf_counter() - t0)
-            if fixed_iters is None and changed == 0:
-                break
-        return self._collect("labels_table"), rounds
+        return self._label_loop(
+            "plp_messages", "plp_apply", max_iter, fixed_iters, stats
+        )
 
 
 def bsp_pagerank(

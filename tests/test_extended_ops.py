@@ -186,3 +186,23 @@ def test_session_windows_vs_pandas(ray_session):
     for col in ["user_id", "session_start_us", "session_end_us", "n_events"]:
         assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
     np.testing.assert_allclose(got["sum_value"], want["sum_value"], atol=1e-9)
+
+
+def test_windows_ns_timestamp_parity(ray_session):
+    """ns-resolution parquet writers must yield identical windows to us:
+    the operators normalize ticks to microseconds before arithmetic."""
+    base = events_ds().to_pandas()
+    ns = base.copy()
+    ns["ts"] = ns["ts"].dt.as_unit("ns")
+    ds_us = ray.data.from_pandas(base)
+    ds_ns = ray.data.from_pandas(ns)
+    for fn, kw in (
+        (tumbling_window, {"window_s": 3600}),
+        (session_windows, {"gap_s": 1800}),
+    ):
+        a = fn(ds_us, num_partitions=4, **kw).to_pandas()
+        b = fn(ds_ns, num_partitions=4, **kw).to_pandas()
+        key = [c for c in a.columns if c.endswith("_us") or c == "user_id"]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)

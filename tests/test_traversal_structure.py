@@ -1,0 +1,167 @@
+"""Conformance tests for the traversal (BFS/closeness/ANF), structure
+(k-core/assortativity/sparsification), eigenvector and generator operators
+against networkx / pure-numpy oracles."""
+
+import networkx as nx
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from tests.conftest import edges_dataset, fixture_graph
+
+from networkit_ray.pipelines.centrality import eigenvector_centrality
+from networkit_ray.pipelines.structure import (
+    degree_assortativity,
+    edge_triangle_scores,
+    global_threshold_filter,
+    kcore_membership,
+)
+from networkit_ray.pipelines.traversal import (
+    bfs_depths,
+    closeness_sampled,
+    neighborhood_function,
+)
+from networkit_ray.sources.generators import erdos_renyi_edges, rmat_edges
+from networkit_ray.stages.graphops import symmetrize, canonicalize_undirected
+
+
+@pytest.mark.parametrize("name", ["er200", "multicomp"])
+def test_bfs_depths_vs_networkx(name, ray_session):
+    G = fixture_graph(name)
+    src = min(G.nodes)
+    got_ds, rounds = bfs_depths(
+        edges_dataset(G), [src], num_partitions=3, undirected=True
+    )
+    got = dict(zip(*(got_ds.to_pandas()[c] for c in ("vid", "depth"))))
+    want = nx.single_source_shortest_path_length(G, src)
+    for v in got:
+        if v in want:
+            assert got[v] == want[v], v
+        else:
+            assert got[v] == -1, v
+    assert rounds >= max(want.values())
+
+
+def test_bfs_multi_source(ray_session):
+    G = fixture_graph("er200")
+    sources = [0, 50, 100]
+    got_ds, _ = bfs_depths(edges_dataset(G), sources, num_partitions=3)
+    got = dict(zip(*(got_ds.to_pandas()[c] for c in ("vid", "depth"))))
+    want = {}
+    for s in sources:
+        for v, d in nx.single_source_shortest_path_length(G, s).items():
+            want[v] = min(want.get(v, 10**9), d)
+    for v, d in want.items():
+        assert got[v] == d, v
+
+
+def test_closeness_sampled_vs_networkx(ray_session):
+    G = fixture_graph("karate")
+    out = (
+        closeness_sampled(edges_dataset(G), n_sources=6, num_partitions=2)
+        .to_pandas()
+        .set_index("vid")
+    )
+    for v in out.index:
+        want = nx.closeness_centrality(G, u=int(v), wf_improved=False)
+        assert out.loc[v, "closeness"] == pytest.approx(want, abs=1e-9), v
+
+
+def test_eigenvector_vs_numpy_power(ray_session):
+    G = fixture_graph("karate")
+    iters = 12
+    sym = symmetrize(canonicalize_undirected(edges_dataset(G), weight="one"))
+    got = (
+        eigenvector_centrality(sym, iters=iters, num_partitions=3)
+        .to_pandas()
+        .set_index("vid")["x"]
+        .sort_index()
+    )
+    n = G.number_of_nodes()
+    A = nx.to_numpy_array(G, nodelist=sorted(G.nodes), weight=None)
+    x = np.ones(n)
+    for _ in range(iters):
+        x = A.T @ x
+    x = x / np.linalg.norm(x)
+    np.testing.assert_allclose(got.to_numpy(), x, rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_kcore_vs_networkx(k, ray_session):
+    G = fixture_graph("er200")
+    got = set(
+        kcore_membership(edges_dataset(G), k=k, max_rounds=30, num_partitions=3)
+        .to_pandas()["vid"]
+        .astype(int)
+    )
+    want = set(nx.k_core(G, k=k).nodes)
+    assert got == want
+
+
+def test_assortativity_vs_networkx(ray_session):
+    G = fixture_graph("ba300")
+    got = degree_assortativity(edges_dataset(G), num_partitions=3).to_pandas()[
+        "assortativity"
+    ][0]
+    want = nx.degree_assortativity_coefficient(G)
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_edge_triangle_scores_vs_brute(ray_session):
+    G = fixture_graph("karate")
+    out = edge_triangle_scores(edges_dataset(G), num_partitions=3).to_pandas()
+    got = {(int(r["src"]), int(r["dst"])): (int(r["cn"]), r["score"]) for _, r in out.iterrows()}
+    for u, v in G.edges():
+        a, b = min(u, v), max(u, v)
+        cn = len(set(G[u]) & set(G[v]))
+        du, dv = G.degree(u), G.degree(v)
+        score = cn / max(du + dv - cn, 1)
+        assert got[(a, b)][0] == cn, (a, b)
+        assert got[(a, b)][1] == pytest.approx(score), (a, b)
+    assert len(got) == G.number_of_edges()
+    # threshold filter keeps exactly the rows above the cut
+    thr = 0.2
+    kept = global_threshold_filter(
+        edge_triangle_scores(edges_dataset(G), num_partitions=3), "score", thr
+    ).to_pandas()
+    assert set(zip(kept["src"], kept["dst"])) == {
+        p for p, (c, s) in got.items() if s >= thr
+    }
+
+
+def test_anf_neighborhood_function(ray_session):
+    G = fixture_graph("er200")
+    ds, eff = neighborhood_function(
+        edges_dataset(G), max_dist=6, registers=128, num_partitions=3
+    )
+    est = ds.to_pandas().set_index("t")["est_pairs"]
+    # exact neighborhood function: pairs within distance t (ordered pairs
+    # incl. self at distance 0 counted once per vertex)
+    spl = dict(nx.all_pairs_shortest_path_length(G))
+    for t in est.index:
+        exact = sum(1 for u in spl for v, d in spl[u].items() if d <= t)
+        assert est[t] == pytest.approx(exact, rel=0.35), (t, est[t], exact)
+    assert 1 <= eff <= 6
+
+
+def test_generators_deterministic_and_sized(ray_session):
+    a = erdos_renyi_edges(1000, 5000, seed=7, parallelism=2).to_pandas()
+    b = erdos_renyi_edges(1000, 5000, seed=7, parallelism=8).to_pandas()
+    assert len(a) == 5000
+    assert a.sort_values(["src", "dst"]).reset_index(drop=True).equals(
+        b.sort_values(["src", "dst"]).reset_index(drop=True)
+    )
+    assert a["src"].between(0, 999).all() and a["dst"].between(0, 999).all()
+
+    r1 = rmat_edges(10, 8, seed=5, parallelism=2).to_pandas()
+    r2 = rmat_edges(10, 8, seed=5, parallelism=6).to_pandas()
+    assert len(r1) == 8 * 1024
+    assert r1.sort_values(["src", "dst"]).reset_index(drop=True).equals(
+        r2.sort_values(["src", "dst"]).reset_index(drop=True)
+    )
+    # R-MAT skew: top-1% sources should own far more than 1% of edges
+    top = r1["src"].value_counts()
+    n_top = max(1, int(0.01 * len(top)))
+    assert top.iloc[:n_top].sum() > 0.05 * len(r1)
