@@ -298,13 +298,88 @@ def q_knn_ivf(sf_dir):
     from networkit_ray.pipelines.similarity import knn_ivf
 
     emb = _emb(sf_dir)
-    return knn_ivf(emb, emb.limit(5), k=10, num_centroids=16, nprobe=4)
+    return _round6(
+        knn_ivf(emb, emb.limit(5), k=10, num_centroids=16, nprobe=4), "sim"
+    )
 
 
 def q_cosine_near_dups(sf_dir):
     from networkit_ray.pipelines.similarity import cosine_near_dup_pairs
 
     return _round6(cosine_near_dup_pairs(_emb(sf_dir), threshold=0.4), "sim")
+
+
+def q_bfs_depths(sf_dir):
+    """Undirected BFS depths on the customer-supplier graph from the
+    minimum vid (depth -1 = unreached); capped at 30 rounds to mirror the
+    recursive-CTE oracle's depth bound (graph diameter is far smaller)."""
+    from networkit_ray.pipelines.traversal import bfs_depths
+    from networkit_ray.stages.graphops import vertices_from_edges
+
+    edges = _edges(sf_dir)
+    src = vertices_from_edges(edges).min("vid")
+    depths, _ = bfs_depths(
+        edges, [int(src)], num_partitions=P, undirected=True, max_depth=30
+    )
+    return depths
+
+
+def q_closeness(sf_dir):
+    """Exact closeness for the 4 smallest-vid suppliers of the co-part
+    graph (sampled-source closeness; one graph build, one BFS per source)."""
+    from networkit_ray.pipelines.traversal import closeness_sampled
+
+    out = closeness_sampled(
+        _supplier_edges(sf_dir), n_sources=4, num_partitions=P, undirected=True
+    )
+    return _round6(out, "closeness")
+
+
+def q_eigenvector(sf_dir):
+    from networkit_ray.pipelines.centrality import eigenvector_centrality
+    from networkit_ray.stages.graphops import symmetrize
+
+    out = eigenvector_centrality(
+        symmetrize(_edges(sf_dir)), iters=10, num_partitions=P
+    )
+    return _round6(out, "x")
+
+
+def q_kcore(sf_dir):
+    from networkit_ray.pipelines.structure import kcore_membership
+
+    return kcore_membership(
+        _supplier_edges(sf_dir), _suppliers(sf_dir), k=3, max_rounds=15,
+        num_partitions=P,
+    )
+
+
+def q_assortativity(sf_dir):
+    from networkit_ray.pipelines.structure import degree_assortativity
+
+    return _round6(
+        degree_assortativity(_supplier_edges(sf_dir), num_partitions=P),
+        "assortativity",
+    )
+
+
+def q_edge_triangle_scores(sf_dir):
+    from networkit_ray.pipelines.structure import edge_triangle_scores
+
+    return _round6(
+        edge_triangle_scores(_supplier_edges(sf_dir), num_partitions=P), "score"
+    )
+
+
+def q_anf_sketch(sf_dir):
+    """ANF neighborhood-function estimates on the supplier co-part graph
+    (sketch values -> rows-only driver check; value oracle in tests/)."""
+    from networkit_ray.pipelines.traversal import neighborhood_function
+
+    ds, _eff = neighborhood_function(
+        _supplier_edges(sf_dir), max_dist=4, registers=32, num_partitions=P
+    )
+    return ds
 
 
 def q_corpus_extract(sf_dir):
@@ -383,6 +458,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": q_knn_brute,
         "knn_ivf": q_knn_ivf,
         "cosine_near_dup_pairs": q_cosine_near_dups,
+        "bfs_depths": q_bfs_depths,
+        "closeness_sampled": q_closeness,
+        "eigenvector_centrality": q_eigenvector,
+        "kcore_membership": q_kcore,
+        "degree_assortativity": q_assortativity,
+        "edge_triangle_scores": q_edge_triangle_scores,
+        "anf_sketch": q_anf_sketch,
         "corpus_extract_edges": q_corpus_extract,
         "corpus_pagerank": q_corpus_pagerank,
     }
@@ -752,6 +834,183 @@ FROM s_c s LEFT JOIN w_c w ON s.label = w.label
     )
 
 
+_BFS_SQL = (
+    _GRAPH_PRELUDE
+    + """,
+ue AS (SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst FROM edges),
+sue AS (SELECT src, dst FROM ue UNION SELECT dst, src FROM ue),
+bfs AS (
+  SELECT (SELECT MIN(vid) FROM verts) AS vid, 0 AS depth
+  UNION
+  SELECT e.dst, b.depth + 1
+  FROM bfs b JOIN sue e ON e.src = b.vid
+  WHERE b.depth < 30
+),
+md AS (SELECT vid, MIN(depth) AS depth FROM bfs GROUP BY 1)
+SELECT v.vid, COALESCE(m.depth, -1) AS depth
+FROM verts v LEFT JOIN md m ON v.vid = m.vid
+"""
+)
+
+_SUPPLIER_RECURSIVE_PRELUDE = _SUPPLIER_PRELUDE.replace(
+    "WITH ps", "WITH RECURSIVE ps", 1
+)
+
+_CLOSENESS_SQL = (
+    _SUPPLIER_RECURSIVE_PRELUDE
+    + """,
+srcs AS (SELECT vid FROM sverts ORDER BY vid LIMIT 4),
+bfs AS (
+  SELECT vid AS s, vid AS v, 0 AS d FROM srcs
+  UNION
+  SELECT b.s, e.n, b.d + 1
+  FROM bfs b JOIN sym e ON e.v = b.v
+  WHERE b.d < 30
+),
+md AS (SELECT s, v, MIN(d) AS d FROM bfs GROUP BY 1, 2),
+agg AS (SELECT s AS vid, COUNT(*) - 1 AS r1, SUM(d) AS sd FROM md GROUP BY 1)
+SELECT vid,
+       FLOOR(CASE WHEN sd > 0 THEN CAST(r1 AS DOUBLE) / sd ELSE 0.0 END
+             * 1000000 + 0.5) / 1000000.0 AS closeness,
+       CAST(r1 + 1 AS BIGINT) AS reached
+FROM agg
+"""
+)
+
+
+def _eigenvector_sql(iters: int) -> str:
+    return (
+        _GRAPH_PRELUDE
+        + f""",
+sym AS (
+  SELECT src, dst, w FROM edges
+  UNION ALL SELECT dst, src, w FROM edges
+  UNION ALL SELECT vid, vid, 0.0 FROM verts
+),
+ev AS (
+  SELECT 0 AS iter, vid, CAST(1.0 AS DOUBLE) AS x FROM verts
+  UNION ALL
+  SELECT c.iter + 1, c.vid, c.c
+  FROM (
+    SELECT e.iter AS iter, t.dst AS vid, SUM(e.x * t.w) AS c
+    FROM ev e JOIN sym t ON e.vid = t.src
+    WHERE e.iter < {iters}
+    GROUP BY 1, 2
+  ) c
+),
+fin AS (SELECT vid, x FROM ev WHERE iter = {iters}),
+nrm AS (SELECT SQRT(SUM(x * x)) AS n FROM fin)
+SELECT vid,
+       FLOOR(x / (SELECT CASE WHEN n > 0 THEN n ELSE 1.0 END FROM nrm)
+             * 1000000 + 0.5) / 1000000.0 AS x
+FROM fin
+"""
+    )
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    return (
+        _SUPPLIER_RECURSIVE_PRELUDE
+        + f""",
+ks AS (
+  SELECT 0 AS it, (SELECT LIST(vid) FROM sverts) AS vs
+  UNION ALL
+  SELECT it + 1,
+         (SELECT LIST(v) FROM (
+            SELECT e.v, COUNT(*) AS c FROM sym e
+            WHERE list_contains(kk.vs, e.v) AND list_contains(kk.vs, e.n)
+            GROUP BY e.v HAVING COUNT(*) >= {k}))
+  FROM ks kk WHERE it < {rounds}
+)
+SELECT UNNEST(vs) AS vid FROM ks WHERE it = {rounds}
+"""
+    )
+
+
+_ASSORTATIVITY_SQL = (
+    _SUPPLIER_PRELUDE
+    + """,
+pairs AS (
+  SELECT CAST(da.d AS DOUBLE) AS dx, CAST(db.d AS DOUBLE) AS dy
+  FROM sym s JOIN sdeg da ON da.v = s.v JOIN sdeg db ON db.v = s.n
+),
+st AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(dx) AS sx, SUM(dy) AS sy,
+         SUM(dx * dy) AS sxy, SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy
+  FROM pairs
+)
+-- explicit Pearson sums with the zero-variance -> 0.0 convention, exactly
+-- mirroring the Ray partial-sum combiner (corr() would yield NULL/NaN on
+-- degree-regular graphs)
+SELECT FLOOR(CASE WHEN (sxx - sx * sx / n) > 0 AND (syy - sy * sy / n) > 0
+                  THEN (sxy - sx * sy / n)
+                       / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n))
+                  ELSE 0.0 END * 1000000 + 0.5) / 1000000.0 AS assortativity
+FROM st
+"""
+)
+
+_EDGE_TRI_SQL = (
+    _SUPPLIER_PRELUDE
+    + """,
+wed AS (SELECT a.n AS u, b.n AS v FROM sym a JOIN sym b ON a.v = b.v AND a.n < b.n),
+cnt AS (SELECT u, v, COUNT(*) AS cn FROM wed GROUP BY 1, 2)
+SELECT e.src, e.dst, COALESCE(c.cn, 0) AS cn,
+       FLOOR(CAST(COALESCE(c.cn, 0) AS DOUBLE)
+             / GREATEST(du.d + dv.d - COALESCE(c.cn, 0), 1)
+             * 1000000 + 0.5) / 1000000.0 AS score
+FROM ue e
+LEFT JOIN cnt c ON c.u = e.src AND c.v = e.dst
+JOIN sdeg du ON du.v = e.src
+JOIN sdeg dv ON dv.v = e.dst
+"""
+)
+
+_KNN_IVF_SQL = """
+WITH cent AS (
+  SELECT embedding AS ce,
+         ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      ORDER BY vec_id LIMIT 5),
+assign AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT c.cidx FROM cent c
+          ORDER BY list_cosine_similarity(CAST(c.ce AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])) DESC,
+                   c.cidx ASC
+          LIMIT 1) AS bucket
+  FROM embeddings e
+),
+pr AS (
+  SELECT query_id, cidx FROM (
+    SELECT q.query_id, c.cidx,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(CAST(c.ce AS DOUBLE[]),
+                                             CAST(q.qe AS DOUBLE[])) DESC,
+                      c.cidx ASC
+           ) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= 4
+),
+sims AS (
+  SELECT q.query_id, a.vec_id,
+         list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                CAST(a.embedding AS DOUBLE[])) AS sim
+  FROM q JOIN pr ON pr.query_id = q.query_id
+  JOIN assign a ON a.bucket = pr.cidx
+)
+SELECT query_id, vec_id, FLOOR(sim * 1000000 + 0.5) / 1000000.0 AS sim
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM sims
+) WHERE rn <= 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "edges_build": _EDGES_SQL,
@@ -773,9 +1032,16 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": _EXACT_DEDUP_SQL,
         "jaccard_similar_pairs": _JACCARD_SQL,
         "knn_brute": _KNN_SQL,
+        "knn_ivf": _KNN_IVF_SQL,
         "cosine_near_dup_pairs": _COSINE_DUPS_SQL,
-        # minhash_dedup_groups / simhash_near_dups / fingerprints / knn_ivf /
-        # corpus_* are not SQL-expressible (LSH banding, rolling hashes,
-        # regex corpus extraction) -> rows-only checks; value-level oracles
-        # live in tests/ (FIXTURES.md §3).
+        "bfs_depths": _BFS_SQL,
+        "closeness_sampled": _CLOSENESS_SQL,
+        "eigenvector_centrality": _eigenvector_sql(10),
+        "kcore_membership": _kcore_sql(3, 15),
+        "degree_assortativity": _ASSORTATIVITY_SQL,
+        "edge_triangle_scores": _EDGE_TRI_SQL,
+        # minhash_dedup_groups / simhash_near_dups / fingerprints / anf_sketch
+        # / corpus_* are not SQL-expressible (LSH banding, rolling hashes,
+        # FM sketches, regex corpus extraction) -> rows-only checks;
+        # value-level oracles live in tests/ (FIXTURES.md §3).
     }

@@ -83,7 +83,7 @@ def closeness_sampled(
     rows_vid, rows_clo, rows_reach = [], [], []
     try:
         for s in sources:
-            g.bfs(np.asarray([s], dtype=np.int64))
+            g.bfs(np.asarray([s], dtype=np.int64), collect=False)
             sum_d, reached = g.bfs_stats()
             clo = (reached - 1) / sum_d if sum_d > 0 else 0.0
             rows_vid.append(int(s))

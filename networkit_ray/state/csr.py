@@ -667,7 +667,7 @@ class BSPGraph:
         return self._collect("labels_table"), rounds
 
     # ---- BFS (multi-source frontier) --------------------------------------
-    def bfs(self, sources: np.ndarray, max_depth=None, stats=None):
+    def bfs(self, sources: np.ndarray, max_depth=None, stats=None, collect=True):
         """Synchronous frontier rounds until the frontier empties (or
         max_depth).  Rounds are driver-synced on the newly-reached counter —
         the frontier-empty test IS the termination, so no pipelining
@@ -699,6 +699,8 @@ class BSPGraph:
                 break
         if stats is not None:
             stats.setdefault("iter_wall_s", []).append(time.perf_counter() - t0)
+        if not collect:
+            return None, rounds
         return self._collect("depths_table"), rounds
 
     def bfs_stats(self) -> tuple[float, int]:
