@@ -165,3 +165,35 @@ def test_generators_deterministic_and_sized(ray_session):
     top = r1["src"].value_counts()
     n_top = max(1, int(0.01 * len(top)))
     assert top.iloc[:n_top].sum() > 0.05 * len(r1)
+
+
+def test_approx_distinct_hll(ray_session):
+    """HLL sketch aggregate: within ~3 sigma of exact distinct counts,
+    both globally and per group (merge = elementwise register max)."""
+    from networkit_ray.functions.aggregates import ApproxDistinct
+
+    rng = np.random.default_rng(9)
+    n, n_distinct = 50_000, 7_321
+    vals = rng.integers(0, n_distinct, size=n).astype(np.int64)
+    grp = (vals % 2).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"g": grp, "x": vals})).repartition(6)
+
+    got = ds.aggregate(ApproxDistinct("x", p=12, alias_name="d"))["d"]
+    exact = len(np.unique(vals))
+    assert abs(got - exact) / exact < 0.05, (got, exact)
+
+    per = ds.groupby("g").aggregate(ApproxDistinct("x", p=12, alias_name="d")).to_pandas()
+    for g in (0, 1):
+        e = len(np.unique(vals[grp == g]))
+        a = int(per[per["g"] == g]["d"].iloc[0])
+        assert abs(a - e) / e < 0.06, (g, a, e)
+
+
+def test_approx_distinct_exact_small(ray_session):
+    from networkit_ray.functions.aggregates import ApproxDistinct
+
+    ds = ray.data.from_arrow(
+        pa.table({"x": np.array([1, 1, 2, 3, 3, 3], dtype=np.int64)})
+    )
+    got = ds.aggregate(ApproxDistinct("x", p=12, alias_name="d"))["d"]
+    assert got == 3  # linear-counting regime is exact-ish at tiny n
