@@ -371,6 +371,17 @@ def q_edge_triangle_scores(sf_dir):
     )
 
 
+def q_louvain(sf_dir):
+    """PLM/Louvain communities on the customer-supplier graph (labels are
+    algorithm-defined, not SQL-expressible -> rows-only driver check;
+    modularity-quality + determinism oracles live in tests/)."""
+    from networkit_ray.pipelines.community import louvain
+
+    return louvain(
+        _edges(sf_dir), num_partitions=P, max_levels=2, move_rounds=2, colors=4
+    )
+
+
 def q_anf_sketch(sf_dir):
     """ANF neighborhood-function estimates on the supplier co-part graph
     (sketch values -> rows-only driver check; value oracle in tests/)."""
@@ -464,6 +475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_membership": q_kcore,
         "degree_assortativity": q_assortativity,
         "edge_triangle_scores": q_edge_triangle_scores,
+        "louvain_communities": q_louvain,
         "anf_sketch": q_anf_sketch,
         "corpus_extract_edges": q_corpus_extract,
         "corpus_pagerank": q_corpus_pagerank,

@@ -1,5 +1,5 @@
-"""Community quality metrics (SURVEY.md §2.3 `community/` module):
-modularity of a labeling — label-joins onto edges + grouped sums.
+"""Community detection + quality metrics (SURVEY.md §2.3 `community/`
+module): modularity of a labeling, and PLM/Louvain with coarsening.
 
 Newman modularity for an undirected weighted graph:
 
@@ -8,15 +8,26 @@ Newman modularity for an undirected weighted graph:
 where W = total undirected edge weight, W_c = weight inside community c,
 S_c = summed weighted degree of c's vertices.  All three are tiny grouped
 aggregates; the only real work is joining labels onto the edge endpoints.
+
+``louvain`` is the distributed parallel-Louvain method (the reference's
+community/PLM, Staudt & Meyerhenke 2016): synchronized local-moving rounds
+(every vertex evaluates its best neighbor community by modularity gain in
+one vectorized join+argmax pass) followed by graph coarsening (contract
+communities, keep intra-weight as self-loops) and recursion.  Synchronous
+moving accepts the same benign move races as the reference's parallel
+implementation; determinism comes from fixed rounds and min-label
+tie-breaking.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from ray.data.aggregate import Sum
 
+from networkit_ray.functions.aggregates import ArgMaxWMinLabel
 from networkit_ray.stages.graphops import (
     canonicalize_undirected,
     out_degrees,
@@ -114,3 +125,345 @@ def modularity(edges_ds, labels_ds, num_partitions: int = 8):
     import ray.data
 
     return ray.data.from_arrow(pa.table({"modularity": pa.array([float(q)])}))
+
+
+# ---- PLM / Louvain --------------------------------------------------------
+
+
+def _proj(ds, cols: dict):
+    """Explicit projection after a join (Ray 2.49 — compat.py)."""
+    return ds.map_batches(
+        lambda t: pa.table({name: t[src] for name, src in cols.items()}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _volumes(canon, num_partitions):
+    """(vid, wd): weighted degree / volume per vertex — self-loops (present
+    in coarsened graphs) count twice, per the Louvain volume convention."""
+
+    def pre(t: pa.Table) -> pa.Table:
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        dst = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        w = t["w"].combine_chunks().to_numpy(zero_copy_only=False)
+        vid = np.concatenate([src, dst])
+        wd = np.concatenate([w, w])  # self loop rows contribute 2w to src=dst
+        out = pa.table({"vid": vid, "wd": wd})
+        return out.group_by("vid").aggregate([("wd", "sum")]).rename_columns(
+            ["vid", "wd"]
+        )
+
+    return (
+        canon.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("vid", num_partitions=num_partitions)
+        .aggregate(Sum("wd", alias_name="wd"))
+    )
+
+
+def _move_round(sym_ds, vstate, W, num_partitions, min_gain, color_mod=1, color=0):
+    """One synchronized local-moving (sub-)round.
+
+    vstate = materialized (vid, comm, wd).  Returns new (vid, comm) labels:
+    each ELIGIBLE vertex (vid % color_mod == color) picks
+    argmax_C [ w(v,C) − wd(v)·(Σtot(C) − [C=C_v]·wd(v)) / (2W) ]
+    over neighbor communities plus staying (stay score gets +min_gain so
+    moves must strictly improve); ties break to the smaller community id;
+    frozen vertices keep their label.  Color classes bound the staleness of
+    simultaneous moves — with one class, singleton initialization degrades
+    into pointer chases (v joins u's community while u departs), which is
+    why every distributed Louvain schedules moves in sub-rounds.
+    """
+    tot = (
+        _proj(vstate, {"comm": "comm", "wd": "wd"})
+        .groupby("comm", num_partitions=num_partitions)
+        .aggregate(Sum("wd", alias_name="tot"))
+    )
+
+    def _eligible(t: pa.Table, col: str) -> pa.Table:
+        if color_mod <= 1:
+            return t
+        vids = t[col].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(vids % color_mod == color))
+
+    # neighbor-community edge weights: attach dst's community; only
+    # eligible movers generate candidate rows
+    elig_sym = sym_ds.map_batches(
+        lambda t: _eligible(t, "src"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    if elig_sym.count() == 0:
+        # no eligible vertex has an edge this sub-round (common once the
+        # coarsened graph is tiny); an entirely-empty join side crashes
+        # Ray 2.49 shuffles (compat.py) — and there is nothing to move
+        return _proj(vstate, {"vid": "vid", "comm": "comm"})
+    nb = _proj(
+        elig_sym.join(
+            _proj(vstate, {"vid": "vid", "ncomm": "comm"}),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("dst",),
+            right_on=("vid",),
+        ),
+        {"vid": "src", "ncomm": "ncomm", "wvc": "w"},
+    )
+    # stay candidates: w(v, C_v) accumulates real neighbor weight via the
+    # groupby; the zero row guarantees C_v is always a candidate
+    stay = vstate.map_batches(
+        lambda t: _eligible(
+            pa.table(
+                {
+                    "vid": t["vid"],
+                    "ncomm": t["comm"],
+                    "wvc": pa.array(np.zeros(t.num_rows)),
+                }
+            ),
+            "vid",
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["vid", "ncomm"]).aggregate([("wvc", "sum")])
+            .rename_columns(["vid", "ncomm", "wvc"])
+        )
+
+    w_vc = (
+        nb.union(stay)
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["vid", "ncomm"], num_partitions=num_partitions)
+        .aggregate(Sum("wvc", alias_name="wvc"))
+    )
+
+    j1 = _proj(
+        w_vc.join(
+            vstate,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("vid",),
+        ),
+        {"vid": "vid", "ncomm": "ncomm", "wvc": "wvc", "comm": "comm", "wd": "wd"},
+    )
+    totr = _proj(tot, {"tcomm": "comm", "tot": "tot"}).materialize()
+    j2 = _proj(
+        j1.join(
+            totr,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("ncomm",),
+            right_on=("tcomm",),
+        ),
+        {
+            "vid": "vid",
+            "ncomm": "ncomm",
+            "wvc": "wvc",
+            "comm": "comm",
+            "wd": "wd",
+            "tot": "tot",
+        },
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        wvc = t["wvc"].combine_chunks().to_numpy(zero_copy_only=False)
+        wd = t["wd"].combine_chunks().to_numpy(zero_copy_only=False)
+        totv = t["tot"].combine_chunks().to_numpy(zero_copy_only=False)
+        ncomm = t["ncomm"].combine_chunks().to_numpy(zero_copy_only=False)
+        comm = t["comm"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_own = ncomm == comm
+        eff_tot = totv - np.where(is_own, wd, 0.0)
+        s = wvc - wd * eff_tot / (2.0 * W)
+        s = s + np.where(is_own, min_gain, 0.0)
+        return pa.table({"vid": t["vid"], "label": t["ncomm"], "w": s})
+
+    scored = j2.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    winners = scored.groupby("vid", num_partitions=num_partitions).aggregate(
+        ArgMaxWMinLabel(w_col="w", label_col="label", alias_name="comm")
+    )
+    # the aggregate's python-object accumulator infers a double column
+    moved = winners.map_batches(
+        lambda t: pa.table(
+            {
+                "vid": pc.cast(t["vid"], pa.int64()),
+                "comm": pc.cast(t["comm"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    if color_mod <= 1:
+        return moved
+    frozen = vstate.map_batches(
+        lambda t: pa.table({"vid": t["vid"], "comm": t["comm"]}).filter(
+            pa.array(
+                t["vid"].combine_chunks().to_numpy(zero_copy_only=False) % color_mod
+                != color
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return moved.union(frozen)
+
+
+def _contract(canon, labels, num_partitions):
+    """Coarsen: vertices = communities; intra-community weight becomes
+    self-loop weight (canonical (min,max) community pair, summed)."""
+    j1 = _proj(
+        canon.join(
+            labels,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("vid",),
+        ),
+        {"csrc": "comm", "dst": "dst", "w": "w"},
+    )
+    j2 = _proj(
+        j1.join(
+            labels,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("dst",),
+            right_on=("vid",),
+        ),
+        {"csrc": "csrc", "cdst": "comm", "w": "w"},
+    )
+
+    def canon_pairs(t: pa.Table) -> pa.Table:
+        a = t["csrc"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["cdst"].combine_chunks().to_numpy(zero_copy_only=False)
+        out = pa.table(
+            {
+                "src": np.minimum(a, b),
+                "dst": np.maximum(a, b),
+                "w": t["w"],
+            }
+        )
+        return out.group_by(["src", "dst"]).aggregate([("w", "sum")]).rename_columns(
+            ["src", "dst", "w"]
+        )
+
+    return (
+        j2.map_batches(canon_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src", "dst"], num_partitions=num_partitions)
+        .aggregate(Sum("w", alias_name="w"))
+    )
+
+
+def louvain(
+    edges_ds,
+    num_partitions: int = 8,
+    max_levels: int = 3,
+    move_rounds: int = 4,
+    min_gain: float = 1e-9,
+    colors: int = 4,
+):
+    """Distributed PLM/Louvain -> Dataset(vid, label), label = min original
+    member vid of the community (canonical).  Each level: ``move_rounds``
+    synchronized local-moving rounds, then coarsening; stops early when a
+    level moves nothing.  Every step is joins + pre-combined groupbys —
+    nothing vertex- or edge-sized touches the driver."""
+    from networkit_ray.stages.graphops import vertices_from_edges
+
+    canon = canonicalize_undirected(edges_ds, weight="sum").materialize()
+    mapping = (
+        vertices_from_edges(canon)
+        .map_batches(
+            lambda t: pa.table({"vid": t["vid"], "comm": t["vid"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    import ray.data
+
+    if canon.count() == 0:
+        return _proj(mapping, {"vid": "vid", "label": "comm"})
+
+    for _level in range(max_levels):
+        W = canon.sum("w") or 0.0
+        if W <= 0:
+            break
+        # symmetrized view without self loops (self loops never affect the
+        # argmax: they move with the vertex and cancel across candidates)
+        no_loops = canon.map_batches(
+            lambda t: t.filter(pc.not_equal(t["src"], t["dst"])),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        sym = symmetrize(no_loops).materialize()
+        wd = _volumes(canon, num_partitions).materialize()
+        labels = _proj(wd, {"vid": "vid", "comm": "vid", "wd": "wd"}).materialize()
+        if sym.count() == 0:
+            break
+        for _r in range(move_rounds):
+            for color in range(colors):
+                new_labels = _move_round(
+                    sym, labels, W, num_partitions, min_gain,
+                    color_mod=colors, color=color,
+                )
+                # re-attach volumes for the next sub-round
+                labels = _proj(
+                    new_labels.join(
+                        wd,
+                        join_type="inner",
+                        num_partitions=num_partitions,
+                        on=("vid",),
+                    ),
+                    {"vid": "vid", "comm": "comm", "wd": "wd"},
+                ).materialize()
+        moved = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "n": pa.array(
+                        [
+                            int(
+                                pc.sum(
+                                    pc.cast(
+                                        pc.not_equal(t["vid"], t["comm"]), pa.int64()
+                                    )
+                                ).as_py()
+                                or 0
+                            )
+                        ],
+                        type=pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).sum("n")
+        if not moved:
+            break
+        lab2 = _proj(labels, {"vid": "vid", "comm": "comm"}).materialize()
+        lab2r = _proj(lab2, {"cvid": "vid", "newcomm": "comm"}).materialize()
+        mapping = _proj(
+            mapping.join(
+                lab2r,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("comm",),
+                right_on=("cvid",),
+            ),
+            {"vid": "vid", "comm": "newcomm"},
+        ).materialize()
+        canon = _contract(canon, lab2, num_partitions).materialize()
+
+    # canonical labels: min original member vid per community
+    from ray.data.aggregate import Min
+
+    cmin = (
+        _proj(mapping, {"comm": "comm", "vid": "vid"})
+        .groupby("comm", num_partitions=num_partitions)
+        .aggregate(Min("vid", alias_name="label"))
+        .materialize()
+    )
+    return _proj(
+        mapping.join(
+            cmin, join_type="inner", num_partitions=num_partitions, on=("comm",)
+        ),
+        {"vid": "vid", "label": "label"},
+    )

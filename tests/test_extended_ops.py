@@ -206,3 +206,39 @@ def test_windows_ns_timestamp_parity(ray_session):
         a = a.sort_values(key).reset_index(drop=True)
         b = b.sort_values(key).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_louvain_quality_and_determinism(ray_session):
+    """PLM/Louvain: valid canonical partition, modularity within reach of
+    networkx louvain and no worse than PLP; deterministic across
+    partitionings."""
+    from networkit_ray.pipelines.community import louvain, modularity
+    from networkit_ray.pipelines.labelprop import label_propagation
+
+    G = fixture_graph("karate")
+    ds = edges_dataset(G)
+    kw = dict(max_levels=2, move_rounds=3, colors=4)
+    lab = louvain(ds, num_partitions=2, **kw).to_pandas()
+    assert set(lab["vid"].astype(int)) == set(int(v) for v in G.nodes)
+    # canonical labels: every label is the min vid of its community
+    grp = lab.groupby("label")["vid"].min()
+    assert (grp.index == grp.values).all()
+
+    q_louvain = (
+        modularity(ds, ray.data.from_pandas(lab), num_partitions=2)
+        .to_pandas()["modularity"][0]
+    )
+    plp_labels, _ = label_propagation(ds, fixed_iters=10, num_partitions=2)
+    q_plp = (
+        modularity(ds, plp_labels, num_partitions=2).to_pandas()["modularity"][0]
+    )
+    want = nx.algorithms.community.modularity(
+        G, nx.algorithms.community.louvain_communities(G, seed=1)
+    )
+    assert q_louvain >= q_plp - 1e-9, (q_louvain, q_plp)
+    assert q_louvain >= 0.7 * want, (q_louvain, want)
+
+    lab2 = louvain(ds, num_partitions=4, **kw).to_pandas()
+    a = lab.sort_values("vid").reset_index(drop=True)
+    b = lab2.sort_values("vid").reset_index(drop=True)
+    assert a.equals(b)  # deterministic across partitionings
