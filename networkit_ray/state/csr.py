@@ -626,18 +626,17 @@ class BSPGraph:
         self, msg_method: str, apply_method: str, max_iter, fixed_iters, stats
     ):
         """Pipelined BSP label rounds (same scheme as pagerank's loop): the
-        driver enqueues rounds ahead — per-actor serial execution order IS
-        the barrier — and only synchronizes on the changed-counters every
-        CHECK rounds.  Convergence mode may overshoot by up to CHECK-1
-        rounds; both kernels are fixpoint-stable (changed==0 => further
+        driver enqueues round r+1 before reading round r's changed-counters,
+        so actors never idle on driver syncs — per-actor serial execution
+        order IS the barrier.  Convergence mode overshoots by at most ONE
+        round; both kernels are fixpoint-stable (changed==0 => further
         rounds are identity), so the overshoot only costs wall time, never
-        changes the answer."""
+        changes the answer.  Fixed-iteration mode never syncs mid-loop."""
         P, actors = self.P, self.actors
         ray.get([a.lab_init.remote() for a in actors])
-        CHECK = 4
         rounds = 0
         iters_target = fixed_iters if fixed_iters is not None else max_iter
-        pending: dict[int, list] = {}
+        prev_refs = None
         t_loop = time.perf_counter()
         while rounds < iters_target:
             rounds += 1
@@ -648,20 +647,21 @@ class BSPGraph:
                     list(getattr(a, msg_method).options(num_returns=P).remote())
                     for a in actors
                 ]
-            pending[rounds] = [
+            refs = [
                 getattr(actors[t], apply_method).remote(
                     *[msg_refs[s][t] for s in range(P)]
                 )
                 for t in range(P)
             ]
-            if fixed_iters is None and (rounds % CHECK == 0 or rounds == iters_target):
-                changed = None
-                for k in sorted(pending):
-                    changed = sum(ray.get(pending.pop(k)))
-                if changed == 0:
+            if fixed_iters is None and prev_refs is not None:
+                # read LAST round's counters while this round executes
+                if sum(ray.get(prev_refs)) == 0:
+                    ray.get(refs)  # the in-flight round is a no-op
                     break
-        for k in sorted(pending):
-            ray.get(pending.pop(k))
+            prev_refs = refs
+        else:
+            if prev_refs is not None:
+                ray.get(prev_refs)
         if stats is not None:
             stats.setdefault("iter_wall_s", []).append(time.perf_counter() - t_loop)
         return self._collect("labels_table"), rounds
