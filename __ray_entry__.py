@@ -332,7 +332,7 @@ def q_closeness(sf_dir):
     out = closeness_sampled(
         _supplier_edges(sf_dir), n_sources=4, num_partitions=P, undirected=True
     )
-    return _round6(out, "closeness")
+    return _round6(_round6(out, "closeness"), "harmonic")
 
 
 def q_eigenvector(sf_dir):
@@ -369,6 +369,19 @@ def q_edge_triangle_scores(sf_dir):
     return _round6(
         edge_triangle_scores(_supplier_edges(sf_dir), num_partitions=P), "score"
     )
+
+
+def q_betweenness(sf_dir):
+    """Sampled-source Brandes betweenness on the supplier co-part graph
+    (4 deterministic sources, normalized by n/|sample|; the dependency
+    accumulation is not SQL-expressible -> rows-only driver check; exact
+    pure-Python Brandes oracle in tests/)."""
+    from networkit_ray.pipelines.traversal import approx_betweenness
+
+    out = approx_betweenness(
+        _supplier_edges(sf_dir), n_sources=4, num_partitions=P, undirected=True
+    )
+    return _round6(out, "betweenness")
 
 
 def q_louvain(sf_dir):
@@ -475,6 +488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_membership": q_kcore,
         "degree_assortativity": q_assortativity,
         "edge_triangle_scores": q_edge_triangle_scores,
+        "approx_betweenness": q_betweenness,
         "louvain_communities": q_louvain,
         "anf_sketch": q_anf_sketch,
         "corpus_extract_edges": q_corpus_extract,
@@ -880,10 +894,15 @@ bfs AS (
   WHERE b.d < 30
 ),
 md AS (SELECT s, v, MIN(d) AS d FROM bfs GROUP BY 1, 2),
-agg AS (SELECT s AS vid, COUNT(*) - 1 AS r1, SUM(d) AS sd FROM md GROUP BY 1)
+agg AS (
+  SELECT s AS vid, COUNT(*) - 1 AS r1, SUM(d) AS sd,
+         SUM(CASE WHEN d > 0 THEN 1.0 / d ELSE 0.0 END) AS hm
+  FROM md GROUP BY 1
+)
 SELECT vid,
        FLOOR(CASE WHEN sd > 0 THEN CAST(r1 AS DOUBLE) / sd ELSE 0.0 END
              * 1000000 + 0.5) / 1000000.0 AS closeness,
+       FLOOR(hm * 1000000 + 0.5) / 1000000.0 AS harmonic,
        CAST(r1 + 1 AS BIGINT) AS reached
 FROM agg
 """

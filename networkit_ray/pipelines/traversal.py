@@ -67,8 +67,10 @@ def closeness_sampled(
     """Exact closeness centrality for a deterministic sample of source
     vertices (the ``n_sources`` smallest vids unless ``sources`` given):
     closeness(s) = (reached - 1) / sum of BFS depths from s  (0 when s
-    reaches nothing).  One graph build serves every source's BFS.
-    -> Dataset(vid, closeness, reached)."""
+    reaches nothing); harmonic(s) = sum over reached t != s of 1/d(s,t)
+    (the reference's HarmonicCloseness, robust to disconnection).  One
+    graph build serves every source's BFS.
+    -> Dataset(vid, closeness, harmonic, reached)."""
     import ray.data
 
     if vertices_ds is None:
@@ -80,14 +82,15 @@ def closeness_sampled(
             for r in verts.sort("vid").limit(n_sources).take_all()
         ]
     g = _graph(edges_ds, verts, num_partitions, undirected)
-    rows_vid, rows_clo, rows_reach = [], [], []
+    rows_vid, rows_clo, rows_harm, rows_reach = [], [], [], []
     try:
         for s in sources:
             g.bfs(np.asarray([s], dtype=np.int64), collect=False)
-            sum_d, reached = g.bfs_stats()
+            sum_d, reached, sum_inv = g.bfs_stats()
             clo = (reached - 1) / sum_d if sum_d > 0 else 0.0
             rows_vid.append(int(s))
             rows_clo.append(float(clo))
+            rows_harm.append(float(sum_inv))
             rows_reach.append(int(reached))
     finally:
         g.shutdown()
@@ -96,10 +99,57 @@ def closeness_sampled(
             {
                 "vid": np.array(rows_vid, dtype=np.int64),
                 "closeness": np.array(rows_clo, dtype=np.float64),
+                "harmonic": np.array(rows_harm, dtype=np.float64),
                 "reached": np.array(rows_reach, dtype=np.int64),
             }
         )
     )
+
+
+def approx_betweenness(
+    edges_ds,
+    sources=None,
+    n_sources: int = 8,
+    vertices_ds=None,
+    num_partitions: int = 8,
+    undirected: bool = True,
+    normalize: bool = True,
+):
+    """Sampled-source Brandes betweenness (the reference's
+    ApproxBetweenness/EstimateBetweenness family): exact dependency
+    accumulation from a deterministic source sample (the ``n_sources``
+    smallest vids unless ``sources`` given), scaled by n/|sample| when
+    ``normalize`` (the standard unbiased estimator of unnormalized
+    betweenness).  One graph build serves every source's forward+backward
+    sweep.  -> Dataset(vid, betweenness)."""
+    import pyarrow.compute as _pc
+
+    if vertices_ds is None:
+        vertices_ds = vertices_from_edges(edges_ds)
+    verts = vertices_ds.select_columns(["vid"]).materialize()
+    n = verts.count()
+    if sources is None:
+        sources = [
+            int(r["vid"]) for r in verts.sort("vid").limit(n_sources).take_all()
+        ]
+    g = _graph(edges_ds, verts, num_partitions, undirected)
+    try:
+        out = g.betweenness(sources)
+    finally:
+        g.shutdown()
+    if normalize and len(sources):
+        scale = n / len(sources)
+        out = out.map_batches(
+            lambda t: pa.table(
+                {
+                    "vid": t["vid"],
+                    "betweenness": _pc.multiply(t["betweenness"], scale),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    return out
 
 
 def neighborhood_function(

@@ -342,10 +342,106 @@ class CSRPartition:
     def depths_table(self) -> pa.Table:
         return pa.table({"vid": self.owned, "depth": self.depth})
 
-    def bfs_stats_part(self) -> tuple[float, int]:
-        """(sum of finite depths, reached count) for closeness."""
+    def bfs_stats_part(self) -> tuple[float, int, float]:
+        """(sum of finite depths, reached count, sum of 1/depth for
+        depth>0) — closeness numerator/denominator + harmonic closeness."""
         reached = self.depth >= 0
-        return float(self.depth[reached].sum()), int(reached.sum())
+        pos = self.depth > 0
+        inv = float((1.0 / self.depth[pos]).sum()) if pos.any() else 0.0
+        return float(self.depth[reached].sum()), int(reached.sum()), inv
+
+    # ---- Brandes betweenness (sampled sources) ----------------------------
+    def bc_init(self, sources: np.ndarray) -> int:
+        """Start a Brandes pass from the given sources (usually one):
+        forward BFS also accumulates sigma (#shortest paths)."""
+        n = self.n_owned
+        self.depth = np.full(n, -1, dtype=np.int64)
+        self.sigma = np.zeros(n, dtype=np.float64)
+        self.delta = np.zeros(n, dtype=np.float64)
+        if not hasattr(self, "btw") or self.btw is None or len(self.btw) != n:
+            self.btw = np.zeros(n, dtype=np.float64)
+        self._bc_round = 0
+        self._bc_sources = np.empty(0, dtype=np.int64)
+        sources = np.asarray(sources, dtype=np.int64)
+        if n == 0 or len(sources) == 0:
+            self._bfs_frontier = np.empty(0, dtype=np.int64)
+            return 0
+        pos = np.minimum(np.searchsorted(self.owned, sources), n - 1)
+        hit = self.owned[pos] == sources
+        mine = np.unique(pos[hit])
+        self.depth[mine] = 0
+        self.sigma[mine] = 1.0
+        self._bfs_frontier = mine
+        self._bc_sources = mine
+        return int(len(mine))
+
+    def bc_reset_accum(self):
+        self.btw = np.zeros(self.n_owned, dtype=np.float64)
+
+    def bc_forward_messages(self):
+        """Frontier vertices send their sigma along out-edges."""
+        flag = np.zeros(self.n_owned, dtype=bool)
+        flag[self._bfs_frontier] = True
+        out = []
+        for src_local, _w, out_idx, n_out in self.route:
+            if n_out == 0:
+                out.append(np.empty(0, dtype=np.float64))
+                continue
+            mask = flag[src_local]
+            m = np.zeros(n_out, dtype=np.float64)
+            if mask.any():
+                np.add.at(m, out_idx[mask], self.sigma[src_local[mask]])
+            out.append(m)
+        return out[0] if self.P == 1 else tuple(out)
+
+    def bc_forward_apply(self, *msgs) -> int:
+        self._bc_round += 1
+        incoming = np.zeros(self.n_owned, dtype=np.float64)
+        for s, m in enumerate(msgs):
+            if len(m):
+                incoming[self.in_idx[s]] += m
+        newly = np.flatnonzero((self.depth < 0) & (incoming > 0))
+        self.depth[newly] = self._bc_round
+        self.sigma[newly] = incoming[newly]
+        self._bfs_frontier = newly
+        return int(len(newly))
+
+    def bc_backward_messages(self, d: int):
+        """Vertices at depth d send (1+delta)/sigma along (symmetric)
+        out-edges; only depth d-1 receivers accept in apply."""
+        at_d = self.depth == d
+        out = []
+        for src_local, _w, out_idx, n_out in self.route:
+            if n_out == 0:
+                out.append(np.empty(0, dtype=np.float64))
+                continue
+            mask = at_d[src_local]
+            m = np.zeros(n_out, dtype=np.float64)
+            if mask.any():
+                sl = src_local[mask]
+                val = (1.0 + self.delta[sl]) / self.sigma[sl]
+                np.add.at(m, out_idx[mask], val)
+            out.append(m)
+        return out[0] if self.P == 1 else tuple(out)
+
+    def bc_backward_apply(self, d: int, *msgs) -> float:
+        incoming = np.zeros(self.n_owned, dtype=np.float64)
+        for s, m in enumerate(msgs):
+            if len(m):
+                incoming[self.in_idx[s]] += m
+        takers = self.depth == d - 1
+        self.delta[takers] += self.sigma[takers] * incoming[takers]
+        return float(self.delta[takers].sum())
+
+    def bc_accumulate(self) -> None:
+        """Fold this source's dependencies into the betweenness totals
+        (the source itself is excluded, per Brandes)."""
+        add = self.delta.copy()
+        add[self._bc_sources] = 0.0
+        self.btw += add
+
+    def btw_table(self, scale: float = 1.0) -> pa.Table:
+        return pa.table({"vid": self.owned, "betweenness": self.btw * scale})
 
     # ---- ANF / Flajolet-Martin neighborhood sketch ------------------------
     def anf_init(self, registers: int, seed: int) -> float:
@@ -703,11 +799,79 @@ class BSPGraph:
             return None, rounds
         return self._collect("depths_table"), rounds
 
-    def bfs_stats(self) -> tuple[float, int]:
-        """(sum of finite depths, reached count) over the whole graph —
-        the closeness numerator/denominator after a bfs() run."""
+    def bfs_stats(self) -> tuple[float, int, float]:
+        """(sum of finite depths, reached count, sum of reciprocal depths)
+        over the whole graph, after a bfs() run."""
         parts = ray.get([a.bfs_stats_part.remote() for a in self.actors])
-        return sum(p[0] for p in parts), sum(p[1] for p in parts)
+        return (
+            sum(p[0] for p in parts),
+            sum(p[1] for p in parts),
+            sum(p[2] for p in parts),
+        )
+
+    # ---- Brandes betweenness driver ---------------------------------------
+    def betweenness(self, sources, stats=None):
+        """Exact Brandes dependency accumulation restricted to the given
+        source set (the 'approx betweenness' estimator when sources are a
+        sample): per source, one forward sigma-BFS and one backward
+        per-level dependency sweep — 2·eccentricity actor rounds, payloads
+        are float arrays per partition pair.  Returns Dataset(vid,
+        betweenness) with the plain sum over sources (caller normalizes)."""
+        P, actors = self.P, self.actors
+        ray.get([a.bc_reset_accum.remote() for a in actors])
+        t0 = time.perf_counter()
+        for s in sources:
+            found = sum(
+                ray.get(
+                    [a.bc_init.remote(np.asarray([s], dtype=np.int64)) for a in actors]
+                )
+            )
+            if found == 0:
+                continue
+            maxd = 0
+            while True:
+                if P == 1:
+                    msg_refs = [[actors[0].bc_forward_messages.remote()]]
+                else:
+                    msg_refs = [
+                        list(a.bc_forward_messages.options(num_returns=P).remote())
+                        for a in actors
+                    ]
+                newly = sum(
+                    ray.get(
+                        [
+                            actors[t].bc_forward_apply.remote(
+                                *[msg_refs[s_][t] for s_ in range(P)]
+                            )
+                            for t in range(P)
+                        ]
+                    )
+                )
+                if newly == 0:
+                    break
+                maxd += 1
+            for d in range(maxd, 0, -1):
+                if P == 1:
+                    msg_refs = [[actors[0].bc_backward_messages.remote(d)]]
+                else:
+                    msg_refs = [
+                        list(
+                            a.bc_backward_messages.options(num_returns=P).remote(d)
+                        )
+                        for a in actors
+                    ]
+                ray.get(
+                    [
+                        actors[t].bc_backward_apply.remote(
+                            d, *[msg_refs[s_][t] for s_ in range(P)]
+                        )
+                        for t in range(P)
+                    ]
+                )
+            ray.get([a.bc_accumulate.remote() for a in actors])
+        if stats is not None:
+            stats.setdefault("iter_wall_s", []).append(time.perf_counter() - t0)
+        return self._collect("btw_table")
 
     # ---- ANF neighborhood-function sketch ---------------------------------
     def anf(self, max_dist=8, registers=64, seed=42):

@@ -67,6 +67,8 @@ def test_closeness_sampled_vs_networkx(ray_session):
     for v in out.index:
         want = nx.closeness_centrality(G, u=int(v), wf_improved=False)
         assert out.loc[v, "closeness"] == pytest.approx(want, abs=1e-9), v
+        want_h = nx.harmonic_centrality(G, nbunch=[int(v)])[int(v)]
+        assert out.loc[v, "harmonic"] == pytest.approx(want_h, abs=1e-9), v
 
 
 def test_eigenvector_vs_numpy_power(ray_session):
@@ -197,3 +199,72 @@ def test_approx_distinct_exact_small(ray_session):
     )
     got = ds.aggregate(ApproxDistinct("x", p=12, alias_name="d"))["d"]
     assert got == 3  # linear-counting regime is exact-ish at tiny n
+
+
+def _brandes_subset(G, sources):
+    """Reference Brandes restricted to a source set (unnormalized sum)."""
+    from collections import deque
+
+    btw = {v: 0.0 for v in G}
+    for s in sources:
+        S, P = [], {v: [] for v in G}
+        sigma = dict.fromkeys(G, 0.0)
+        sigma[s] = 1.0
+        dist = {s: 0}
+        Q = deque([s])
+        while Q:
+            v = Q.popleft()
+            S.append(v)
+            for w in G[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    Q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    P[w].append(v)
+        delta = dict.fromkeys(G, 0.0)
+        while S:
+            w = S.pop()
+            for v in P[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                btw[w] += delta[w]
+    return btw
+
+
+@pytest.mark.parametrize("name", ["karate", "multicomp"])
+def test_approx_betweenness_exact_vs_brandes(name, ray_session):
+    from networkit_ray.pipelines.traversal import approx_betweenness
+
+    G = fixture_graph(name)
+    sources = sorted(G.nodes)[:5]
+    got = (
+        approx_betweenness(
+            edges_dataset(G), sources=sources, num_partitions=3, normalize=False
+        )
+        .to_pandas()
+        .set_index("vid")["betweenness"]
+    )
+    want = _brandes_subset(G, sources)
+    for v in got.index:
+        assert got[v] == pytest.approx(want[int(v)], abs=1e-9), v
+
+
+def test_betweenness_all_sources_matches_networkx(ray_session):
+    """With sources = ALL vertices, the unnormalized sum equals
+    2x networkx betweenness_centrality(normalized=False) (each unordered
+    pair counted from both endpoints)."""
+    from networkit_ray.pipelines.traversal import approx_betweenness
+
+    G = fixture_graph("karate")
+    got = (
+        approx_betweenness(
+            edges_dataset(G), sources=sorted(G.nodes), num_partitions=3,
+            normalize=False,
+        )
+        .to_pandas()
+        .set_index("vid")["betweenness"]
+    )
+    want = nx.betweenness_centrality(G, normalized=False)
+    for v in got.index:
+        assert got[v] == pytest.approx(2.0 * want[int(v)], abs=1e-9), v
