@@ -395,6 +395,21 @@ def q_louvain(sf_dir):
     )
 
 
+def q_random_walks(sf_dir):
+    """Uniform random-walk corpus (deepwalk phase) on the supplier co-part
+    graph — deterministic min-hash neighbor draws; not SQL-expressible ->
+    rows-only driver check; validity/determinism oracles in tests/."""
+    from networkit_ray.pipelines.walks import random_walks
+    from networkit_ray.stages.graphops import symmetrize
+
+    return random_walks(
+        symmetrize(_supplier_edges(sf_dir)),
+        walk_length=5,
+        walks_per_node=1,
+        num_partitions=P,
+    )
+
+
 def q_anf_sketch(sf_dir):
     """ANF neighborhood-function estimates on the supplier co-part graph
     (sketch values -> rows-only driver check; value oracle in tests/)."""
@@ -490,6 +505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_triangle_scores": q_edge_triangle_scores,
         "approx_betweenness": q_betweenness,
         "louvain_communities": q_louvain,
+        "random_walks": q_random_walks,
         "anf_sketch": q_anf_sketch,
         "corpus_extract_edges": q_corpus_extract,
         "corpus_pagerank": q_corpus_pagerank,

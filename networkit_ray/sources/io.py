@@ -1,0 +1,128 @@
+"""Graph IO beyond Parquet — the reference's `io/` module family
+(EdgeListReader/Writer with configurable separator/comment/offset,
+METISGraphReader; SURVEY.md §2.3).
+
+Scale split, stated explicitly:
+- **Edge lists** stream: `ray.data.read_text` -> vectorized pandas parsing
+  per batch; the writer is `write_csv` with a delimiter.  These are the
+  formats that exist at 100-TB scale (sharded text files).
+- **METIS** is a line-number-addressed single-file format (vertex id =
+  line index), which cannot be parsed from unordered distributed blocks;
+  `read_metis_file` is therefore a documented DRIVER-SIDE compat loader
+  for interchange with the reference ecosystem, not a scale path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def read_edge_list(
+    paths,
+    separator: str | None = None,
+    comment: str = "#",
+    offset: int = 0,
+    weighted: bool = False,
+    default_weight: float = 1.0,
+):
+    """Edge-list text file(s) -> Dataset(src, dst, w).
+
+    ``separator=None`` splits on arbitrary whitespace (the reference
+    EdgeListReader's default); ``comment``-prefixed and blank lines are
+    skipped; ``offset`` is subtracted from both endpoints (1-indexed
+    formats use offset=1).  Extra columns beyond the first two (or three
+    when ``weighted``) are ignored."""
+    import ray.data
+
+    def parse(batch: pd.DataFrame) -> pa.Table:
+        lines = batch["text"].astype(str).str.strip()
+        keep = (lines.str.len() > 0) & ~lines.str.startswith(comment)
+        lines = lines[keep]
+        if len(lines) == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.float64()),
+                }
+            )
+        parts = lines.str.split(separator, expand=True)
+        src = pd.to_numeric(parts[0]).astype(np.int64) - offset
+        dst = pd.to_numeric(parts[1]).astype(np.int64) - offset
+        if weighted and parts.shape[1] > 2:
+            w = pd.to_numeric(parts[2]).fillna(default_weight).astype(np.float64)
+        else:
+            w = np.full(len(src), default_weight, dtype=np.float64)
+        return pa.table(
+            {
+                "src": src.to_numpy(),
+                "dst": dst.to_numpy(),
+                "w": np.asarray(w, dtype=np.float64),
+            }
+        )
+
+    return ray.data.read_text(paths).map_batches(parse, batch_format="pandas")
+
+
+def write_edge_list(edges_ds, path: str, separator: str = " ", weighted: bool = True):
+    """Dataset(src, dst[, w]) -> sharded headerless text files (one
+    directory, one file per block — resumable/partitioned output)."""
+    from pyarrow import csv as pacsv
+
+    cols = ["src", "dst", "w"] if weighted else ["src", "dst"]
+    edges_ds.select_columns(cols).write_csv(
+        path,
+        arrow_csv_args_fn=lambda: {
+            "write_options": pacsv.WriteOptions(
+                include_header=False, delimiter=separator
+            )
+        },
+    )
+
+
+def read_metis_file(path: str):
+    """METIS adjacency format -> Dataset(src, dst, w); DRIVER-SIDE compat
+    loader (see module docstring).  Header: "n m [fmt]"; line i (1-based)
+    lists the 1-based neighbors of vertex i-1 after offsetting; fmt=1
+    (edge weights) stores (neighbor, weight) pairs."""
+    import ray.data
+
+    srcs: list[int] = []
+    dsts: list[int] = []
+    ws: list[float] = []
+    with open(path) as fh:
+        header: list[str] = []
+        vid = 0
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("%"):
+                continue
+            if not header:
+                header = line.split()
+                fmt = header[2] if len(header) > 2 else "0"
+                has_w = fmt.endswith("1")
+                continue
+            toks = line.split()
+            if has_w:
+                pairs = zip(toks[0::2], toks[1::2])
+                for nb, w in pairs:
+                    srcs.append(vid)
+                    dsts.append(int(nb) - 1)
+                    ws.append(float(w))
+            else:
+                for nb in toks:
+                    srcs.append(vid)
+                    dsts.append(int(nb) - 1)
+                    ws.append(1.0)
+            vid += 1
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src": np.array(srcs, dtype=np.int64),
+                "dst": np.array(dsts, dtype=np.int64),
+                "w": np.array(ws, dtype=np.float64),
+            }
+        )
+    )

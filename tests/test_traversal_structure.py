@@ -268,3 +268,88 @@ def test_betweenness_all_sources_matches_networkx(ray_session):
     want = nx.betweenness_centrality(G, normalized=False)
     for v in got.index:
         assert got[v] == pytest.approx(2.0 * want[int(v)], abs=1e-9), v
+
+
+def test_edge_list_roundtrip(ray_session, tmp_path):
+    from networkit_ray.sources.io import read_edge_list, write_edge_list
+
+    G = fixture_graph("karate")
+    ds = edges_dataset(G)
+    out_dir = str(tmp_path / "el")
+    write_edge_list(ds, out_dir, separator="\t")
+    back = read_edge_list(out_dir + "/", separator=None, weighted=True).to_pandas()
+    a = ds.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    b = back.sort_values(["src", "dst"]).reset_index(drop=True)
+    assert a[["src", "dst"]].equals(b[["src", "dst"]])
+    np.testing.assert_allclose(a["w"], b["w"])
+
+
+def test_edge_list_comments_offset(ray_session, tmp_path):
+    from networkit_ray.sources.io import read_edge_list
+
+    p = tmp_path / "g.txt"
+    p.write_text("# header\n1 2 0.5\n2 3 1.5\n\n# trailing\n3 1 2.0\n")
+    out = (
+        read_edge_list(str(p), offset=1, weighted=True)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    assert out["src"].tolist() == [0, 1, 2]
+    assert out["dst"].tolist() == [1, 2, 0]
+    assert out["w"].tolist() == [0.5, 1.5, 2.0]
+
+
+def test_read_metis(ray_session, tmp_path):
+    from networkit_ray.sources.io import read_metis_file
+
+    # path graph 0-1-2 in METIS (1-based)
+    p = tmp_path / "g.metis"
+    p.write_text("3 2\n2\n1 3\n2\n")
+    out = read_metis_file(str(p)).to_pandas()
+    got = set(zip(out["src"], out["dst"]))
+    assert got == {(0, 1), (1, 0), (1, 2), (2, 1)}
+
+
+def test_random_walks_valid_and_deterministic(ray_session):
+    from networkit_ray.pipelines.walks import random_walks
+    from networkit_ray.stages.graphops import symmetrize, canonicalize_undirected
+
+    G = fixture_graph("karate")
+    sym = symmetrize(canonicalize_undirected(edges_dataset(G), weight="one"))
+    w1 = random_walks(sym, walk_length=6, walks_per_node=2, num_partitions=2).to_pandas()
+    # every walker does the full walk (karate is connected, no sinks)
+    n = G.number_of_nodes()
+    assert len(w1) == n * 2 * 7  # steps 0..6
+    # consecutive steps are edges
+    w1s = w1.sort_values(["walk_id", "step"])
+    for wid, grp in w1s.groupby("walk_id"):
+        vs = grp["vid"].tolist()
+        assert grp["step"].tolist() == list(range(len(vs)))
+        for a, b in zip(vs, vs[1:]):
+            assert G.has_edge(int(a), int(b)), (wid, a, b)
+    # deterministic across partitionings
+    w2 = random_walks(sym, walk_length=6, walks_per_node=2, num_partitions=4).to_pandas()
+    a = w1.sort_values(["walk_id", "step"]).reset_index(drop=True)
+    b = w2.sort_values(["walk_id", "step"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_random_walks_stop_at_sinks(ray_session):
+    from networkit_ray.pipelines.walks import random_walks
+
+    # directed path 0 -> 1 -> 2: walks must stop at the sink
+    tbl = pa.table(
+        {
+            "src": np.array([0, 1], dtype=np.int64),
+            "dst": np.array([1, 2], dtype=np.int64),
+            "w": np.ones(2),
+        }
+    )
+    out = random_walks(
+        ray.data.from_arrow(tbl), walk_length=5, walks_per_node=1, num_partitions=2
+    ).to_pandas()
+    w0 = out[out["walk_id"] == 0].sort_values("step")["vid"].tolist()
+    assert w0 == [0, 1, 2]
+    w2 = out[out["walk_id"] == 2].sort_values("step")["vid"].tolist()
+    assert w2 == [2]
