@@ -47,7 +47,7 @@ def connected_components(
     ``engine="actor"`` runs hash-min on the BSP CSR actor pool
     (state/csr.py); ``mode`` selects the Dataset-engine strategy.
     """
-    canon = canonicalize_undirected(edges_ds, weight="one")
+    canon = canonicalize_undirected(edges_ds, weight="one", dedupe=False)
     if vertices_ds is None:
         vertices_ds = vertices_from_edges(edges_ds)
     vertices_ds = vertices_ds.select_columns(["vid"])

@@ -44,7 +44,10 @@ def label_propagation(
 
     ``engine="actor"`` runs the rounds on the BSP CSR actor pool.
     """
-    canon = canonicalize_undirected(edges_ds, weight="sum")
+    # dedupe=False: PLP tallies sum w per (vid, label) — partial-sum
+    # duplicates total identically, and skipping the global dedup removes
+    # a full all-to-all exchange from the build
+    canon = canonicalize_undirected(edges_ds, weight="sum", dedupe=False)
     if vertices_ds is None:
         vertices_ds = vertices_from_edges(edges_ds)
     if engine == "actor":

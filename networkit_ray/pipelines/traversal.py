@@ -25,11 +25,17 @@ from networkit_ray.stages.graphops import (
 )
 
 
-def _graph(edges_ds, vertices_ds, num_partitions, undirected, actor_num_cpus=0.25):
+def _graph(edges_ds, vertices_ds, num_partitions, undirected,
+           actor_num_cpus=0.25, dedupe=False):
+    """dedupe=False is sound for depth/reachability/OR-sketch kernels
+    (duplicate edges change nothing); Brandes sigma COUNTS paths, so
+    betweenness passes dedupe=True."""
     from networkit_ray.state.csr import BSPGraph
 
     if undirected:
-        edges_ds = symmetrize(canonicalize_undirected(edges_ds, weight="one"))
+        edges_ds = symmetrize(
+            canonicalize_undirected(edges_ds, weight="one", dedupe=dedupe)
+        )
     if vertices_ds is None:
         vertices_ds = None  # sinks are discovered from routes; sources own
     return BSPGraph(edges_ds, vertices_ds, num_partitions, actor_num_cpus)
@@ -132,7 +138,7 @@ def approx_betweenness(
         sources = [
             int(r["vid"]) for r in verts.sort("vid").limit(n_sources).take_all()
         ]
-    g = _graph(edges_ds, verts, num_partitions, undirected)
+    g = _graph(edges_ds, verts, num_partitions, undirected, dedupe=True)
     try:
         out = g.betweenness(sources)
     finally:

@@ -30,8 +30,20 @@ from networkit_ray.stages.graphops import (
 )
 
 
-def triangle_counts(edges_ds, vertices_ds=None, num_partitions: int = 8):
-    """edges(src,dst,w) [+ vertices(vid)] -> Dataset(vid, triangles)."""
+def triangle_counts(
+    edges_ds,
+    vertices_ds=None,
+    num_partitions: int = 8,
+    broadcast_threshold: int = 2_000_000,
+):
+    """edges(src,dst,w) [+ vertices(vid)] -> Dataset(vid, triangles).
+
+    The vertex-sized side tables (degrees, final counts) are attached via
+    BROADCAST lookup (ray.put once, searchsorted per batch) when the vertex
+    count is at most ``broadcast_threshold`` — the standard broadcast-hash-
+    join cutover, saving three all-to-all exchanges; beyond the threshold
+    the co-partitioned join path runs (the 100-TB shape).
+    """
     # materialized: reused by three consumers (degree pipeline, orientation
     # join left side, symmetrize) — also keeps the two join inputs from
     # sharing an unmaterialized subtree, which Ray 2.49's hash-shuffle
@@ -44,49 +56,9 @@ def triangle_counts(edges_ds, vertices_ds=None, num_partitions: int = 8):
     deg = (
         out_degrees(sym, weighted=False)
         .select_columns(["vid", "out_deg"])
-        .materialize()  # right side of two joins
+        .materialize()  # right side of two joins / broadcast source
     )
-
-    # NOTE: explicit map_batches projections (not rename_columns/select)
-    # between chained joins — Ray 2.49 mis-plans a Project placed directly
-    # on an unmaterialized join output (the rename silently vanishes and
-    # pyarrow later sees duplicate column names)
-    e = (
-        canon.select_columns(["src", "dst"])
-        .join(
-            deg,
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("src",),
-            right_on=("vid",),
-        )
-        .map_batches(
-            lambda t: pa.table(
-                {"src": t["src"], "dst": t["dst"], "deg_src": t["out_deg"]}
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        .join(
-            deg,
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("dst",),
-            right_on=("vid",),
-        )
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "src": t["src"],
-                    "dst": t["dst"],
-                    "deg_src": t["deg_src"],
-                    "deg_dst": t["out_deg"],
-                }
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-    )
+    use_broadcast = deg.count() <= broadcast_threshold
 
     def orient(t: pa.Table) -> pa.Table:
         src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -99,9 +71,79 @@ def triangle_counts(edges_ds, vertices_ds=None, num_partitions: int = 8):
         dhi = np.where(fwd, ddst, dsrc)
         return pa.table({"src": lo, "dst": hi, "ddst": dhi})
 
-    oriented = e.map_batches(
-        orient, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+    if use_broadcast:
+        import ray
+
+        dv, dd = [], []
+        for b in deg.iter_batches(batch_format="pyarrow", batch_size=None):
+            dv.append(b["vid"].to_numpy(zero_copy_only=False))
+            dd.append(b["out_deg"].to_numpy(zero_copy_only=False))
+        dv = np.concatenate(dv) if dv else np.empty(0, np.int64)
+        dd = np.concatenate(dd) if dd else np.empty(0, np.int64)
+        order = np.argsort(dv)
+        ref = ray.put((dv[order], dd[order]))
+
+        def orient_bcast(t: pa.Table, _ref=ref) -> pa.Table:
+            vids, degs = ray.get(_ref)
+            src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            dst = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+            dsrc = degs[np.searchsorted(vids, src)]
+            ddst = degs[np.searchsorted(vids, dst)]
+            return orient(
+                pa.table(
+                    {"src": src, "dst": dst, "deg_src": dsrc, "deg_dst": ddst}
+                )
+            )
+
+        oriented = (
+            canon.select_columns(["src", "dst"])
+            .map_batches(orient_bcast, batch_format="pyarrow", zero_copy_batch=True)
+            .materialize()
+        )
+    else:
+        # NOTE: explicit map_batches projections (not rename_columns/select)
+        # between chained joins — Ray 2.49 mis-plans a Project placed
+        # directly on an unmaterialized join output (the rename silently
+        # vanishes and pyarrow later sees duplicate column names)
+        e = (
+            canon.select_columns(["src", "dst"])
+            .join(
+                deg,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("src",),
+                right_on=("vid",),
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {"src": t["src"], "dst": t["dst"], "deg_src": t["out_deg"]}
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .join(
+                deg,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("dst",),
+                right_on=("vid",),
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "src": t["src"],
+                        "dst": t["dst"],
+                        "deg_src": t["deg_src"],
+                        "deg_dst": t["out_deg"],
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+        oriented = e.map_batches(
+            orient, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
 
     wedges = oriented.join(
         oriented,
@@ -158,6 +200,29 @@ def triangle_counts(edges_ds, vertices_ds=None, num_partitions: int = 8):
         # schema to shuffle (Ray 2.49 crashes on it — compat.py); emit zeros
         return vertices_ds.select_columns(["vid"]).map_batches(
             zeros, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    if use_broadcast:
+        import ray
+
+        cv, ct = [], []
+        for b in counts.iter_batches(batch_format="pyarrow", batch_size=None):
+            cv.append(b["vid"].to_numpy(zero_copy_only=False))
+            ct.append(b["t"].to_numpy(zero_copy_only=False))
+        cv = np.concatenate(cv)
+        ct = np.concatenate(ct)
+        order = np.argsort(cv)
+        cref = ray.put((cv[order], ct[order].astype(np.int64)))
+
+        def attach(t: pa.Table, _ref=cref) -> pa.Table:
+            vids, cnts = ray.get(_ref)
+            v = t["vid"].combine_chunks().to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(vids, v), len(vids) - 1)
+            tri = np.where(vids[pos] == v, cnts[pos], 0)
+            return pa.table({"vid": v, "triangles": tri})
+
+        return vertices_ds.select_columns(["vid"]).map_batches(
+            attach, batch_format="pyarrow", zero_copy_batch=True
         )
 
     return (

@@ -37,12 +37,21 @@ def drop_self_loops(edges_ds):
     )
 
 
-def canonicalize_undirected(edges_ds, drop_loops: bool = True, weight: str = "sum"):
+def canonicalize_undirected(
+    edges_ds, drop_loops: bool = True, weight: str = "sum", dedupe: bool = True
+):
     """Directed/multi edge table -> canonical undirected simple edges.
 
     Each edge is swapped to (min, max); self-loops optionally dropped; then
     exact dedup with weight aggregation ``sum`` | ``max`` | ``one``.
     One shuffle on (src, dst), preceded by a per-batch local combine.
+
+    ``dedupe=False`` skips the global groupby and returns locally-combined
+    canonical rows that may still repeat ACROSS batches — sound for every
+    consumer whose per-key math is duplicate-invariant under partial sums
+    (CC min-propagation, PLP / PageRank weight tallies), and it removes an
+    entire all-to-all exchange from those pipelines.  Consumers that need
+    distinct edges (triangles, degrees, link prediction) keep the default.
     """
 
     def canon(t: pa.Table) -> pa.Table:
@@ -52,11 +61,20 @@ def canonicalize_undirected(edges_ds, drop_loops: bool = True, weight: str = "su
         if drop_loops:
             out = out.filter(pc.not_equal(out["src"], out["dst"]))
         # local pre-combine: collapse in-batch duplicates before the shuffle
-        return out.group_by(["src", "dst"]).aggregate(
+        out = out.group_by(["src", "dst"]).aggregate(
             [("w", "sum" if weight == "sum" else "max")]
         ).rename_columns(EDGE_NAMES)
+        if weight == "one" and not dedupe:
+            # duplicates across batches would double-count: a "one" weight
+            # must survive re-aggregation, so emit the max-combinable form
+            out = _edges_table(
+                out["src"], out["dst"], np.ones(out.num_rows, dtype=np.float64)
+            )
+        return out
 
     ds = edges_ds.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+    if not dedupe:
+        return ds
     agg = Sum("w", alias_name="w") if weight == "sum" else Max("w", alias_name="w")
     ds = ds.groupby(["src", "dst"]).aggregate(agg)
     if weight == "one":

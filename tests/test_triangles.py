@@ -60,3 +60,25 @@ def test_triangles_triangle_free(ray_session):
     }
     assert set(got.values()) == {0}
     assert len(got) == 100
+
+
+def test_triangles_broadcast_matches_join_path(ray_session):
+    """The adaptive broadcast attach and the co-partitioned join path must
+    produce identical counts (and match networkx)."""
+    import networkx as nx
+    from tests.conftest import edges_dataset, fixture_graph
+    from networkit_ray.pipelines.triangles import triangle_counts
+
+    G = fixture_graph("ba300")
+    a = (
+        triangle_counts(edges_dataset(G), num_partitions=3)
+        .to_pandas().set_index("vid")["triangles"].sort_index()
+    )
+    b = (
+        triangle_counts(edges_dataset(G), num_partitions=3, broadcast_threshold=0)
+        .to_pandas().set_index("vid")["triangles"].sort_index()
+    )
+    assert a.equals(b)
+    want = nx.triangles(G)
+    for v in a.index:
+        assert a[v] == want[int(v)], v
