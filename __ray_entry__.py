@@ -371,6 +371,17 @@ def q_edge_triangle_scores(sf_dir):
     )
 
 
+def q_scc(sf_dir):
+    """FW-BW-Trim strongly connected components on the DIRECTED
+    customer-supplier graph (a bipartite DAG: all singletons, resolved by
+    trimming alone — the trim/pivot machinery is exercised on cyclic
+    digraphs in tests/)."""
+    from networkit_ray.pipelines.components import strongly_connected_components
+
+    labels, _stats = strongly_connected_components(_edges(sf_dir), num_partitions=P)
+    return labels
+
+
 def q_betweenness(sf_dir):
     """Sampled-source Brandes betweenness on the supplier co-part graph
     (4 deterministic sources, normalized by n/|sample|; the dependency
@@ -503,6 +514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_membership": q_kcore,
         "degree_assortativity": q_assortativity,
         "edge_triangle_scores": q_edge_triangle_scores,
+        "strongly_connected_components": q_scc,
         "approx_betweenness": q_betweenness,
         "louvain_communities": q_louvain,
         "random_walks": q_random_walks,
@@ -898,6 +910,24 @@ _SUPPLIER_RECURSIVE_PRELUDE = _SUPPLIER_PRELUDE.replace(
     "WITH ps", "WITH RECURSIVE ps", 1
 )
 
+_SCC_SQL = (
+    _GRAPH_PRELUDE
+    + """,
+reach AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+),
+mutual AS (
+  SELECT r1.a AS v, r1.b AS w
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+)
+SELECT v.vid, LEAST(v.vid, COALESCE(MIN(m.w), v.vid)) AS label
+FROM verts v LEFT JOIN mutual m ON m.v = v.vid
+GROUP BY v.vid
+"""
+)
+
 _CLOSENESS_SQL = (
     _SUPPLIER_RECURSIVE_PRELUDE
     + """,
@@ -1082,6 +1112,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": _KNN_IVF_SQL,
         "cosine_near_dup_pairs": _COSINE_DUPS_SQL,
         "bfs_depths": _BFS_SQL,
+        "strongly_connected_components": _SCC_SQL,
         "closeness_sampled": _CLOSENESS_SQL,
         "eigenvector_centrality": _eigenvector_sql(10),
         "kcore_membership": _kcore_sql(3, 15),

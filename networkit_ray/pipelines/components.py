@@ -27,6 +27,8 @@ from ray.data.aggregate import Min
 
 from networkit_ray.stages.graphops import (
     canonicalize_undirected,
+    dedup_edges,
+    drop_self_loops,
     symmetrize,
     vertices_from_edges,
 )
@@ -62,6 +64,289 @@ def connected_components(
     if mode == "hashmin":
         return _cc_hashmin(canon, vertices_ds, num_partitions, max_iter)
     return _cc_unionfind(canon, vertices_ds, num_partitions, driver_pair_limit)
+
+
+def weakly_connected_components(edges_ds, vertices_ds=None, **kw):
+    """Directed edge table -> weak components (reference components/
+    WeaklyConnectedComponents: toUndirected + CC).  connected_components
+    already canonicalizes to the undirected view, so this is the same
+    computation under the directed-input name."""
+    return connected_components(edges_ds, vertices_ds, **kw)
+
+
+def _scc_proj(ds, cols: dict):
+    """Explicit projection after a join (Ray 2.49 — compat.py)."""
+    return ds.map_batches(
+        lambda t: pa.table({name: t[src] for name, src in cols.items()}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _distinct_col(ds, col, num_partitions):
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table({col: pc.unique(t[col].combine_chunks())})
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(col, num_partitions=num_partitions)
+        .count()
+        .select_columns([col])
+    )
+
+
+def _semi_join(ds, keep_ds, on, num_partitions, out_cols):
+    """Inner semi-join: rows of ds whose ``on`` value appears in keep_ds
+    (keep_ds must be a materialized single-column 'vid' set)."""
+    return _scc_proj(
+        ds.join(
+            keep_ds,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=(on,),
+            right_on=("vid",),
+        ),
+        out_cols,
+    )
+
+
+def _reach(edges, start_vid, num_partitions, reverse=False):
+    """Directed reachable set from start_vid over a materialized edge set
+    -> materialized Dataset(vid).  Frontier rounds: one inner join + one
+    anti-join (left_outer + null filter) per round."""
+    import ray.data
+
+    src_col, dst_col = ("dst", "src") if reverse else ("src", "dst")
+    visited = ray.data.from_arrow(
+        pa.table({"vid": np.array([start_vid], dtype=np.int64)})
+    ).materialize()
+    frontier = visited
+    while True:
+        nxt = _scc_proj(
+            edges.join(
+                frontier,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=(src_col,),
+                right_on=("vid",),
+            ),
+            {"vid": dst_col},
+        )
+        nxt = (
+            nxt.groupby("vid", num_partitions=num_partitions)
+            .count()
+            .select_columns(["vid"])
+            .materialize()
+        )
+        if nxt.count() == 0:  # empty join sides crash Ray 2.49 (compat.py)
+            return visited
+        # anti-join vs visited
+        marked = visited.map_batches(
+            lambda t: pa.table(
+                {"vid": t["vid"], "seen": np.ones(t.num_rows, dtype=np.int64)}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        newly = (
+            nxt.join(
+                marked,
+                join_type="left_outer",
+                num_partitions=num_partitions,
+                on=("vid",),
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {"vid": t["vid"].filter(pc.is_null(t["seen"]))}
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .materialize()
+        )
+        if newly.count() == 0:
+            return visited
+        visited = visited.union(newly).materialize()
+        frontier = newly
+
+
+def strongly_connected_components(
+    edges_ds,
+    vertices_ds=None,
+    num_partitions: int = 8,
+    max_pivots: int = 64,
+    max_trim_rounds: int = 100,
+):
+    """Directed SCC via FW-BW-Trim (Fleischer/Hendrickson/Pinar 2000 with
+    the trimming step of McLendon et al.) -> (Dataset(vid, label), stats);
+    label = min vid of the SCC.
+
+    - TRIM rounds peel vertices with zero in- or out-degree inside the
+      remaining subgraph (each is a singleton SCC) — this alone resolves
+      DAG-like graphs (e.g. the bipartite customer-supplier projection)
+      with no pivoting at all.
+    - Each PIVOT round takes the minimum remaining vid, computes forward
+      and backward reachable sets (frontier joins), labels FW∩BW as one
+      SCC, removes it, and resumes trimming.  ``max_pivots`` bounds the
+      sequential pivot count; graphs with more non-trivial SCCs than that
+      raise (documented limitation — the reference's Tarjan is inherently
+      sequential; FW-BW is the standard parallel compromise).
+    """
+    import ray.data
+
+    stats = {"trim_rounds": 0, "pivots": 0}
+    edges = (
+        drop_self_loops(dedup_edges(edges_ds, weight="one"))
+        .select_columns(["src", "dst"])
+        .materialize()
+    )
+    if vertices_ds is None:
+        vertices_ds = vertices_from_edges(edges_ds)
+    remaining = vertices_ds.select_columns(["vid"]).materialize()
+    label_parts: list = []
+
+    def _label_rows(vids_ds, label_of_vid=None, const_label=None):
+        def mk(t: pa.Table) -> pa.Table:
+            v = t["vid"].combine_chunks().to_numpy(zero_copy_only=False)
+            lab = (
+                v
+                if const_label is None
+                else np.full(len(v), const_label, dtype=np.int64)
+            )
+            return pa.table({"vid": v, "label": lab})
+
+        return vids_ds.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
+
+    while remaining.count() > 0:
+        # ---- trim loop ---------------------------------------------------
+        for _ in range(max_trim_rounds):
+            stats["trim_rounds"] += 1
+            if edges.count() == 0:
+                # everything left is a singleton SCC
+                label_parts.append(_label_rows(remaining).materialize())
+                remaining = ray.data.from_arrow(
+                    pa.table({"vid": pa.array([], pa.int64())})
+                )
+                break
+            srcs = _distinct_col(edges, "src", num_partitions).materialize()
+            dsts = _distinct_col(edges, "dst", num_partitions).materialize()
+            # vertices with BOTH roles survive; everything else trims
+            both = _semi_join(
+                _scc_proj(srcs, {"vid": "src"}),
+                _scc_proj(dsts, {"vid": "dst"}).materialize(),
+                "vid",
+                num_partitions,
+                {"vid": "vid"},
+            ).materialize()
+            n_both = both.count()
+            n_rem = remaining.count()
+            if n_both == 0:
+                # pure DAG remainder: every remaining vertex is a singleton
+                label_parts.append(_label_rows(remaining).materialize())
+                remaining = ray.data.from_arrow(
+                    pa.table({"vid": pa.array([], pa.int64())})
+                )
+                break
+            if n_both == n_rem:
+                break
+            trimmed = (
+                remaining.join(
+                    both.map_batches(
+                        lambda t: pa.table(
+                            {
+                                "vid": t["vid"],
+                                "keep": np.ones(t.num_rows, dtype=np.int64),
+                            }
+                        ),
+                        batch_format="pyarrow",
+                        zero_copy_batch=True,
+                    ),
+                    join_type="left_outer",
+                    num_partitions=num_partitions,
+                    on=("vid",),
+                )
+                .map_batches(
+                    lambda t: pa.table(
+                        {"vid": t["vid"].filter(pc.is_null(t["keep"]))}
+                    ),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+                .materialize()
+            )
+            if trimmed.count() == 0:
+                break
+            label_parts.append(_label_rows(trimmed).materialize())
+            remaining = both
+            if remaining.count() == 0:
+                break
+            edges = _semi_join(
+                _semi_join(
+                    edges, remaining, "src", num_partitions,
+                    {"src": "src", "dst": "dst"},
+                ),
+                remaining,
+                "dst",
+                num_partitions,
+                {"src": "src", "dst": "dst"},
+            ).materialize()
+        if remaining.count() == 0:
+            break
+        # ---- pivot: FW ∩ BW ---------------------------------------------
+        stats["pivots"] += 1
+        if stats["pivots"] > max_pivots:
+            raise RuntimeError(
+                f"strongly_connected_components: pivot budget {max_pivots} "
+                f"exhausted with {remaining.count()} vertices remaining — "
+                "this graph's SCC structure needs more FW-BW rounds than "
+                "configured (raise max_pivots)."
+            )
+        pivot = int(remaining.min("vid"))
+        fw = _reach(edges, pivot, num_partitions, reverse=False)
+        bw = _reach(edges, pivot, num_partitions, reverse=True)
+        scc = _semi_join(fw, bw, "vid", num_partitions, {"vid": "vid"}).materialize()
+        label_parts.append(_label_rows(scc, const_label=pivot).materialize())
+        # remove the SCC from remaining + edges
+        scc_marked = scc.map_batches(
+            lambda t: pa.table(
+                {"vid": t["vid"], "gone": np.ones(t.num_rows, dtype=np.int64)}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+        remaining = (
+            remaining.join(
+                scc_marked,
+                join_type="left_outer",
+                num_partitions=num_partitions,
+                on=("vid",),
+            )
+            .map_batches(
+                lambda t: pa.table({"vid": t["vid"].filter(pc.is_null(t["gone"]))}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .materialize()
+        )
+        if remaining.count() == 0:
+            break
+        edges = _semi_join(
+            _semi_join(
+                edges, remaining, "src", num_partitions, {"src": "src", "dst": "dst"}
+            ),
+            remaining,
+            "dst",
+            num_partitions,
+            {"src": "src", "dst": "dst"},
+        ).materialize()
+
+    if not label_parts:
+        out = _label_rows(vertices_ds.select_columns(["vid"]))
+    else:
+        out = label_parts[0]
+        for p in label_parts[1:]:
+            out = out.union(p)
+    return out, stats
 
 
 def _cc_hashmin(canon, vertices_ds, num_partitions, max_iter):

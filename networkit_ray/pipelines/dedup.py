@@ -196,20 +196,20 @@ def minhash_band_rows(docs_ds, num_perm=64, bands=16, k=3, seed=42, concurrency=
     back to the corpus — the shuffle ships ~bands x shingle-bytes instead of
     re-exchanging raw text twice (the sf-scale win; for shingle-heavy docs a
     co-partitioned join-verify over (doc_id -> toks) would ship less — see
-    minhash_dedup_groups docstring)."""
-    return docs_ds.map_batches(
-        Bander,
-        fn_constructor_kwargs={
-            "num_perm": num_perm,
-            "bands": bands,
-            "k": k,
-            "seed": seed,
-            "carry_shingles": carry_shingles,
-        },
-        batch_format="pandas",
-        concurrency=concurrency or 4,
-        num_cpus=0.5,
-    )
+    minhash_dedup_groups docstring).
+
+    Runs as a TASK pool, not an actor pool: the per-worker state (two
+    64-element permutation vectors) costs microseconds to build, so actor
+    spin-up would be pure overhead — actors are reserved for stages with
+    genuinely expensive setup (models, indexes)."""
+
+    def band_fn(batch: pd.DataFrame) -> pa.Table:
+        return Bander(
+            num_perm=num_perm, bands=bands, k=k, seed=seed,
+            carry_shingles=carry_shingles,
+        )(batch)
+
+    return docs_ds.map_batches(band_fn, batch_format="pandas")
 
 
 def candidate_pairs(band_rows_ds, num_partitions=8):
@@ -346,29 +346,20 @@ def minhash_dedup_groups(
             batch["b"].to_numpy(zero_copy_only=False),
         )
     vids, roots = uf.roots()
-    ref = ray.put((vids, roots))
+    order = np.argsort(vids)
+    ref = ray.put((vids[order], roots[order]))
 
-    class Assign:
-        def __init__(self, ref):
-            v, r = ray.get(ref)
-            order = np.argsort(v)
-            self.v, self.r = v[order], r[order]
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
-            if len(self.v) == 0:
-                return pa.table({"doc_id": ids, "dup_group": ids})
-            pos = np.minimum(np.searchsorted(self.v, ids), len(self.v) - 1)
-            grp = np.where(self.v[pos] == ids, self.r[pos], ids)
-            return pa.table({"doc_id": ids, "dup_group": grp})
+    def assign(t: pa.Table, _ref=ref) -> pa.Table:
+        v, r = ray.get(_ref)  # plasma broadcast, zero-copy per task
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table({"doc_id": ids, "dup_group": ids})
+        pos = np.minimum(np.searchsorted(v, ids), len(v) - 1)
+        grp = np.where(v[pos] == ids, r[pos], ids)
+        return pa.table({"doc_id": ids, "dup_group": grp})
 
     return docs_ds.select_columns(["doc_id"]).map_batches(
-        Assign,
-        fn_constructor_kwargs={"ref": ref},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=4,
-        num_cpus=0.5,
+        assign, batch_format="pyarrow", zero_copy_batch=True
     )
 
 

@@ -157,6 +157,53 @@ def vertices_from_edges(edges_ds):
     return ds.groupby("vid").count().select_columns(["vid"])
 
 
+def transpose(edges_ds):
+    """Directed edge table -> its transpose (reference GraphTools.transpose:
+    a column swap, one stateless map pass)."""
+    return edges_ds.map_batches(
+        lambda t: _edges_table(t["dst"], t["src"], t["w"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def to_undirected(edges_ds, weight: str = "sum"):
+    """Directed -> undirected simple graph (reference GraphTools.
+    toUndirected): canonical (min,max) swap + dedup with weight merge."""
+    return canonicalize_undirected(edges_ds, weight=weight)
+
+
+def subgraph(edges_ds, vertices_ds, num_partitions: int = 8):
+    """Induced subgraph on a vertex set (reference GraphTools.
+    subgraphFromNodes): two co-partitioned semi-joins keep edges whose BOTH
+    endpoints are in the set.  The vertex set streams — nothing requires it
+    to fit anywhere."""
+    verts = vertices_ds.select_columns(["vid"]).materialize()
+    j1 = edges_ds.select_columns(EDGE_NAMES).join(
+        verts,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("src",),
+        right_on=("vid",),
+    ).map_batches(
+        # explicit projection after a join (Ray 2.49 — compat.py)
+        lambda t: t.select(EDGE_NAMES),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return j1.join(
+        verts,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("dst",),
+        right_on=("vid",),
+    ).map_batches(
+        lambda t: t.select(EDGE_NAMES),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def top_k(scores_ds, k: int, col: str = "score", descending: bool = True):
     """Global top-k by score (SURVEY.md §2.2 #12): distributed sort + limit."""
     return scores_ds.sort(col, descending=descending).limit(k)

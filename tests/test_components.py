@@ -91,3 +91,51 @@ def test_cc_unionfind_contraction_rounds(ray_session):
     got = {int(k): int(v) for k, v in scores_to_dict(got_ds).items()}
     assert got == nx_cc_labels(G)
     assert rounds > 1
+
+
+def test_scc_vs_networkx(ray_session):
+    import networkx as nx
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from networkit_ray.pipelines.components import strongly_connected_components
+
+    D = nx.gnp_random_graph(60, 0.05, seed=7, directed=True)
+    src = np.array([u for u, v in D.edges()], dtype=np.int64)
+    dst = np.array([v for u, v in D.edges()], dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"src": src, "dst": dst, "w": np.ones(len(src))})
+    )
+    labels, stats = strongly_connected_components(ds, num_partitions=2)
+    got = labels.to_pandas().set_index("vid")["label"]
+    comps = list(nx.strongly_connected_components(D))
+    seen = set()
+    for comp in comps:
+        comp = sorted(int(v) for v in comp)
+        if not any(int(v) in got.index for v in comp):
+            continue  # isolated vertex not in edge table
+        for v in comp:
+            assert got[v] == comp[0], (v, comp)
+        seen.update(comp)
+    assert stats["pivots"] <= 64
+
+
+def test_scc_dag_trims_without_pivots(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from networkit_ray.pipelines.components import strongly_connected_components
+
+    # bipartite DAG (the customer-supplier shape): all singleton SCCs,
+    # resolved purely by trimming
+    src = np.repeat(np.arange(10, dtype=np.int64), 3)
+    dst = 100 + (src * 7 + np.tile(np.arange(3, dtype=np.int64), 10)) % 20
+    ds = ray.data.from_arrow(
+        pa.table({"src": src, "dst": dst, "w": np.ones(len(src))})
+    )
+    labels, stats = strongly_connected_components(ds, num_partitions=2)
+    out = labels.to_pandas()
+    assert (out["vid"] == out["label"]).all()
+    assert stats["pivots"] == 0

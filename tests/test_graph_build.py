@@ -114,3 +114,54 @@ def test_partition_invariance_of_build(ray_session):
             first = canon
         else:
             assert canon == first
+
+
+def test_graphtools_transpose_subgraph_toundirected(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from networkit_ray.stages.graphops import subgraph, to_undirected, transpose
+
+    tbl = pa.table(
+        {
+            "src": np.array([0, 1, 2, 3, 0], dtype=np.int64),
+            "dst": np.array([1, 2, 0, 0, 1], dtype=np.int64),
+            "w": np.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+
+    tr = transpose(ds).to_pandas().sort_values(["src", "dst", "w"]).reset_index(drop=True)
+    assert tr["src"].tolist() == sorted([1, 2, 0, 0, 1])
+    assert set(zip(tr["src"], tr["dst"], tr["w"])) == {
+        (1, 0, 1.0), (2, 1, 2.0), (0, 2, 3.0), (0, 3, 4.0), (1, 0, 5.0)
+    }
+
+    und = to_undirected(ds).to_pandas()
+    got = {(r["src"], r["dst"]): r["w"] for _, r in und.iterrows()}
+    # (0,1): 1.0 + 5.0 summed; (1,2): 2.0; (0,2): 3.0; (0,3): 4.0
+    assert got == {(0, 1): 6.0, (1, 2): 2.0, (0, 2): 3.0, (0, 3): 4.0}
+
+    verts = ray.data.from_arrow(pa.table({"vid": np.array([0, 1, 2], dtype=np.int64)}))
+    sub = subgraph(ds, verts, num_partitions=2).to_pandas()
+    assert set(zip(sub["src"], sub["dst"])) == {(0, 1), (1, 2), (2, 0)}
+    assert len(sub) == 4  # (0,1) twice: w 1.0 and 5.0 rows both kept
+
+
+def test_weakly_connected_components(ray_session):
+    import networkx as nx
+    from tests.conftest import edges_dataset
+    from networkit_ray.pipelines.components import weakly_connected_components
+
+    D = nx.gnp_random_graph(80, 0.03, seed=3, directed=True)
+    labels, _ = weakly_connected_components(
+        edges_dataset(nx.Graph(D.edges())), num_partitions=3
+    )
+    got = labels.to_pandas().set_index("vid")["label"]
+    for comp in nx.weakly_connected_components(D):
+        comp = sorted(comp)
+        want = min(comp)
+        for v in comp:
+            if int(v) in got.index:
+                assert got[int(v)] == want
