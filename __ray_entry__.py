@@ -371,6 +371,28 @@ def q_edge_triangle_scores(sf_dir):
     )
 
 
+def q_diameter(sf_dir):
+    """Two-sweep diameter lower bound on the undirected customer-supplier
+    graph (deterministic sweep: min vid, then farthest-tie-min)."""
+    from networkit_ray.pipelines.traversal import diameter_bounds
+
+    return diameter_bounds(_edges(sf_dir), num_partitions=P, undirected=True)
+
+
+def q_partition_quality(sf_dir):
+    """Coverage + edge cut of the PLP labeling on the customer-supplier
+    graph (community quality measures beyond modularity)."""
+    from networkit_ray.pipelines.community import partition_quality
+    from networkit_ray.pipelines.labelprop import label_propagation
+
+    edges = _edges(sf_dir)
+    labels, _ = label_propagation(
+        edges, fixed_iters=PLP_ITERS, num_partitions=P, engine="actor"
+    )
+    out = partition_quality(edges, labels, num_partitions=P)
+    return _round6(_round6(out, "coverage"), "edge_cut")
+
+
 def q_scc(sf_dir):
     """FW-BW-Trim strongly connected components on the DIRECTED
     customer-supplier graph (a bipartite DAG: all singletons, resolved by
@@ -515,6 +537,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_assortativity": q_assortativity,
         "edge_triangle_scores": q_edge_triangle_scores,
         "strongly_connected_components": q_scc,
+        "diameter_bounds": q_diameter,
+        "partition_quality": q_partition_quality,
         "approx_betweenness": q_betweenness,
         "louvain_communities": q_louvain,
         "random_walks": q_random_walks,
@@ -928,6 +952,51 @@ GROUP BY v.vid
 """
 )
 
+_DIAMETER_SQL = (
+    _GRAPH_PRELUDE
+    + """,
+ue0 AS (SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst FROM edges),
+sue AS (SELECT src, dst FROM ue0 UNION SELECT dst, src FROM ue0),
+b1 AS (
+  SELECT (SELECT MIN(vid) FROM verts) AS vid, 0 AS depth
+  UNION
+  SELECT e.dst, b.depth + 1 FROM b1 b JOIN sue e ON e.src = b.vid
+  WHERE b.depth < 30
+),
+m1 AS (SELECT vid, MIN(depth) AS d FROM b1 GROUP BY 1),
+far AS (SELECT vid FROM m1 ORDER BY d DESC, vid ASC LIMIT 1),
+b2 AS (
+  SELECT (SELECT vid FROM far) AS vid, 0 AS depth
+  UNION
+  SELECT e.dst, b.depth + 1 FROM b2 b JOIN sue e ON e.src = b.vid
+  WHERE b.depth < 30
+),
+m2 AS (SELECT vid, MIN(depth) AS d FROM b2 GROUP BY 1)
+SELECT (SELECT MIN(vid) FROM verts) AS sweep_start,
+       (SELECT vid FROM far) AS sweep_far,
+       (SELECT MAX(d) FROM m2) AS diameter_lb
+"""
+)
+
+
+def _partition_quality_sql(iters: int) -> str:
+    return _plp_sql(iters).replace(
+        "SELECT vid, label FROM plp WHERE iter = " + str(iters),
+        f""", lab AS (SELECT vid, label FROM plp WHERE iter = {iters}),
+ww AS (SELECT SUM(w) AS W FROM edges),
+wi AS (
+  SELECT SUM(e.w) AS w_in
+  FROM edges e JOIN lab a ON a.vid = e.src JOIN lab b ON b.vid = e.dst
+  WHERE a.label = b.label
+)
+SELECT FLOOR(COALESCE((SELECT w_in FROM wi), 0) / (SELECT W FROM ww)
+             * 1000000 + 0.5) / 1000000.0 AS coverage,
+       FLOOR(((SELECT W FROM ww) - COALESCE((SELECT w_in FROM wi), 0))
+             * 1000000 + 0.5) / 1000000.0 AS edge_cut
+""",
+    )
+
+
 _CLOSENESS_SQL = (
     _SUPPLIER_RECURSIVE_PRELUDE
     + """,
@@ -1113,6 +1182,8 @@ def oracle_sql() -> dict[str, str]:
         "cosine_near_dup_pairs": _COSINE_DUPS_SQL,
         "bfs_depths": _BFS_SQL,
         "strongly_connected_components": _SCC_SQL,
+        "diameter_bounds": _DIAMETER_SQL,
+        "partition_quality": _partition_quality_sql(PLP_ITERS),
         "closeness_sampled": _CLOSENESS_SQL,
         "eigenvector_centrality": _eigenvector_sql(10),
         "kcore_membership": _kcore_sql(3, 15),

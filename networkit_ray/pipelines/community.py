@@ -127,6 +127,65 @@ def modularity(edges_ds, labels_ds, num_partitions: int = 8):
     return ray.data.from_arrow(pa.table({"modularity": pa.array([float(q)])}))
 
 
+def partition_quality(edges_ds, labels_ds, num_partitions: int = 8):
+    """Coverage + edge cut of a labeling (reference community/Coverage and
+    EdgeCut): coverage = W_in / W (intra-community weight fraction),
+    edge_cut = W − W_in (inter-community weight).  Same one-pass label-join
+    shape as modularity.  -> 1-row Dataset(coverage, edge_cut)."""
+    import ray.data
+
+    canon = canonicalize_undirected(edges_ds, weight="sum").materialize()
+    labels = labels_ds.select_columns(["vid", "label"]).materialize()
+    W = canon.sum("w") or 0.0
+    if W == 0.0:
+        return ray.data.from_arrow(
+            pa.table({"coverage": pa.array([0.0]), "edge_cut": pa.array([0.0])})
+        )
+    lab_edges = (
+        canon.join(
+            labels,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("vid",),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {"dst": t["dst"], "w": t["w"], "label_src": t["label"]}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .join(
+            labels,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("dst",),
+            right_on=("vid",),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "w_in": pc.if_else(
+                        pc.equal(t["label_src"], t["label"]), t["w"], 0.0
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    w_in = lab_edges.sum("w_in") or 0.0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "coverage": pa.array([float(w_in / W)]),
+                "edge_cut": pa.array([float(W - w_in)]),
+            }
+        )
+    )
+
+
 # ---- PLM / Louvain --------------------------------------------------------
 
 

@@ -158,6 +158,52 @@ def approx_betweenness(
     return out
 
 
+def diameter_bounds(
+    edges_ds,
+    vertices_ds=None,
+    num_partitions: int = 8,
+    undirected: bool = True,
+):
+    """Two-sweep diameter lower bound (the iFub starting heuristic /
+    reference distance/Diameter estimation mode): BFS from the minimum vid,
+    hop to the farthest reached vertex (ties -> min vid), BFS again; the
+    second eccentricity is a lower bound on the diameter (and exact on
+    trees).  Deterministic, 2 BFS passes on one graph build.
+    -> Dataset(1 row: sweep_start, sweep_far, diameter_lb)."""
+    import pyarrow.compute as _pc
+    import ray.data
+
+    if vertices_ds is None:
+        vertices_ds = vertices_from_edges(edges_ds)
+    verts = vertices_ds.select_columns(["vid"]).materialize()
+    start = int(verts.min("vid"))
+    g = _graph(edges_ds, verts, num_partitions, undirected)
+    try:
+        depths, _ = g.bfs(np.asarray([start], dtype=np.int64))
+        reached = depths.map_batches(
+            lambda t: t.filter(_pc.greater_equal(t["depth"], 0)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        far_row = reached.sort(["depth", "vid"], descending=[True, False]).limit(
+            1
+        ).take_all()[0]
+        far = int(far_row["vid"])
+        depths2, _ = g.bfs(np.asarray([far], dtype=np.int64))
+        lb = int(depths2.max("depth"))
+    finally:
+        g.shutdown()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "sweep_start": np.array([start], dtype=np.int64),
+                "sweep_far": np.array([far], dtype=np.int64),
+                "diameter_lb": np.array([lb], dtype=np.int64),
+            }
+        )
+    )
+
+
 def neighborhood_function(
     edges_ds,
     vertices_ds=None,

@@ -353,3 +353,40 @@ def test_random_walks_stop_at_sinks(ray_session):
     assert w0 == [0, 1, 2]
     w2 = out[out["walk_id"] == 2].sort_values("step")["vid"].tolist()
     assert w2 == [2]
+
+
+def test_diameter_bounds_vs_networkx(ray_session):
+    from networkit_ray.pipelines.traversal import diameter_bounds
+
+    for name in ("karate", "er200"):
+        G = fixture_graph(name)
+        row = diameter_bounds(edges_dataset(G), num_partitions=2).take_all()[0]
+        true_diam = nx.diameter(G)
+        # two-sweep is a lower bound, and at least the start's eccentricity
+        assert row["diameter_lb"] <= true_diam
+        assert row["diameter_lb"] >= nx.eccentricity(G, v=row["sweep_far"]) - 0  # ecc of far vertex IS the bound
+        assert row["diameter_lb"] == nx.eccentricity(G, v=int(row["sweep_far"]))
+        assert row["diameter_lb"] >= true_diam / 2  # standard 2-sweep guarantee
+
+
+def test_partition_quality_vs_manual(ray_session):
+    import ray.data
+    from networkit_ray.pipelines.community import partition_quality
+
+    G = fixture_graph("karate")
+    # labeling: two halves by vid parity
+    lab = pa.table(
+        {
+            "vid": np.array(sorted(G.nodes), dtype=np.int64),
+            "label": np.array([v % 2 for v in sorted(G.nodes)], dtype=np.int64),
+        }
+    )
+    out = partition_quality(
+        edges_dataset(G), ray.data.from_arrow(lab), num_partitions=2
+    ).take_all()[0]
+    w_in = sum(
+        d.get("weight", 1.0) for u, v, d in G.edges(data=True) if u % 2 == v % 2
+    )
+    W = sum(d.get("weight", 1.0) for _, _, d in G.edges(data=True))
+    assert out["coverage"] == pytest.approx(w_in / W, abs=1e-9)
+    assert out["edge_cut"] == pytest.approx(W - w_in, abs=1e-9)
