@@ -390,3 +390,27 @@ def test_partition_quality_vs_manual(ray_session):
     W = sum(d.get("weight", 1.0) for _, _, d in G.edges(data=True))
     assert out["coverage"] == pytest.approx(w_in / W, abs=1e-9)
     assert out["edge_cut"] == pytest.approx(W - w_in, abs=1e-9)
+
+
+@pytest.mark.parametrize("name", ["karate", "er200", "multicomp"])
+def test_luby_mis_properties(name, ray_session):
+    """Independence + maximality (the defining properties) + determinism."""
+    from networkit_ray.pipelines.independent import luby_mis
+
+    G = fixture_graph(name)
+    mis = set(
+        luby_mis(edges_dataset(G), num_partitions=2).to_pandas()["vid"].astype(int)
+    )
+    edge_verts = {v for e in G.edges() for v in e}
+    # independence
+    for u, v in G.edges():
+        assert not (u in mis and v in mis), (u, v)
+    # maximality over edge-covered vertices (isolated vertices are only in
+    # the result when a vertex table is supplied)
+    for v in edge_verts:
+        assert v in mis or any(n in mis for n in G[v]), v
+    # determinism across partitionings
+    mis2 = set(
+        luby_mis(edges_dataset(G), num_partitions=4).to_pandas()["vid"].astype(int)
+    )
+    assert mis == mis2
