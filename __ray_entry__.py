@@ -428,6 +428,15 @@ def q_louvain(sf_dir):
     )
 
 
+def q_luby_mis(sf_dir):
+    """Deterministic Luby maximal independent set on the supplier co-part
+    graph (hash priorities are not SQL-expressible -> rows-only driver
+    check; independence/maximality/determinism oracles in tests/)."""
+    from networkit_ray.pipelines.independent import luby_mis
+
+    return luby_mis(_supplier_edges(sf_dir), _suppliers(sf_dir), num_partitions=P)
+
+
 def q_random_walks(sf_dir):
     """Uniform random-walk corpus (deepwalk phase) on the supplier co-part
     graph — deterministic min-hash neighbor draws; not SQL-expressible ->
@@ -541,6 +550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partition_quality": q_partition_quality,
         "approx_betweenness": q_betweenness,
         "louvain_communities": q_louvain,
+        "luby_mis": q_luby_mis,
         "random_walks": q_random_walks,
         "anf_sketch": q_anf_sketch,
         "corpus_extract_edges": q_corpus_extract,
