@@ -348,9 +348,10 @@ def q_eigenvector(sf_dir):
 def q_kcore(sf_dir):
     from networkit_ray.pipelines.structure import kcore_membership
 
+    # no max_rounds: peel to the exact fixpoint (the SQL oracle iterates a
+    # fixed 30 rounds, idempotent past the fixpoint)
     return kcore_membership(
-        _supplier_edges(sf_dir), _suppliers(sf_dir), k=3, max_rounds=15,
-        num_partitions=P,
+        _supplier_edges(sf_dir), _suppliers(sf_dir), k=3, num_partitions=P
     )
 
 
@@ -1196,7 +1197,7 @@ def oracle_sql() -> dict[str, str]:
         "partition_quality": _partition_quality_sql(PLP_ITERS),
         "closeness_sampled": _CLOSENESS_SQL,
         "eigenvector_centrality": _eigenvector_sql(10),
-        "kcore_membership": _kcore_sql(3, 15),
+        "kcore_membership": _kcore_sql(3, 30),
         "degree_assortativity": _ASSORTATIVITY_SQL,
         "edge_triangle_scores": _EDGE_TRI_SQL,
         # minhash_dedup_groups / simhash_near_dups / fingerprints / anf_sketch

@@ -158,8 +158,11 @@ class Bander(MinHasher):
         texts = batch["text"].fillna("").tolist()
         ids = batch["doc_id"].to_numpy(np.int64)
         n, bands = len(texts), self.bands
+        # np.unique after the 32-bit mask: masking can collapse distinct
+        # 64-bit shingles onto one value, and the inline verify's
+        # intersect1d(assume_unique=True) + |union| arithmetic need true sets
         shingle_sets = [
-            (_shingles(t, self.k) & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+            np.unique((_shingles(t, self.k) & np.uint64(0xFFFFFFFF)).astype(np.uint64))
             for t in texts
         ]
         sigs = np.empty((n, self.num_perm), dtype=np.uint64)

@@ -62,13 +62,16 @@ def luby_mis(
     active_v = vertices_ds.select_columns(["vid"]).materialize()
     mis_parts: list = []
     edges = sym
+    converged = False
 
     for rnd in range(1, max_rounds + 1):
         if active_v.count() == 0:
+            converged = True
             break
         if edges.count() == 0:
             # no remaining conflicts: every active vertex joins the MIS
             mis_parts.append(active_v)
+            converged = True
             break
 
         def pr_edges(t: pa.Table, _r=rnd) -> pa.Table:
@@ -204,6 +207,14 @@ def luby_mis(
             zero_copy_batch=True,
         ).materialize()
 
+    if not converged and active_v.count() != 0:
+        # silently dropping active vertices would return a NON-maximal set,
+        # violating the documented contract; Luby converges in O(log n)
+        # expected rounds, so exhaustion means max_rounds was set too low
+        raise RuntimeError(
+            f"luby_mis: {active_v.count()} vertices still active after "
+            f"max_rounds={max_rounds}; raise max_rounds"
+        )
     if not mis_parts:
         import ray.data as _rd
 

@@ -46,20 +46,31 @@ def _project(ds, cols: dict):
 
 
 def kcore_membership(
-    edges_ds, vertices_ds=None, k: int = 3, max_rounds: int = 15, num_partitions: int = 8
+    edges_ds,
+    vertices_ds=None,
+    k: int = 3,
+    max_rounds: int | None = None,
+    num_partitions: int = 8,
 ):
     """-> Dataset(vid): the vertices of the k-core (maximal subgraph with
-    min degree >= k), computed by iterative peeling.  Runs at most
-    ``max_rounds`` peel rounds (the SQL oracle iterates exactly that many;
-    the fixpoint is idempotent so early exit is equivalence-preserving)."""
+    min degree >= k), computed by iterative peeling to the FIXPOINT — the
+    reference CoreDecomposition is exact, and stopping early on deep-peel
+    graphs (a chain needs O(n) rounds) returns a strict superset.  If
+    ``max_rounds`` is given and exhausted before the fixpoint, raises
+    RuntimeError (mirroring strongly_connected_components' pivot budget)
+    rather than silently returning the superset."""
     canon = canonicalize_undirected(edges_ds, weight="one")
     sym = symmetrize(canon).select_columns(["src", "dst"]).materialize()
     if vertices_ds is None:
         vertices_ds = vertices_from_edges(edges_ds)
     surv = vertices_ds.select_columns(["vid"]).materialize()
     n_surv = surv.count()
-    for _ in range(max_rounds):
+    at_fixpoint = False
+    rounds_done = 0
+    while not at_fixpoint and (max_rounds is None or rounds_done < max_rounds):
+        rounds_done += 1
         if n_surv == 0:
+            at_fixpoint = True
             break
         e1 = _project(
             sym.join(
@@ -103,8 +114,15 @@ def kcore_membership(
         )
         n_new = new_surv.count()
         if n_new == n_surv:
+            at_fixpoint = True
             break
         surv, n_surv = new_surv, n_new
+    if not at_fixpoint and n_surv > 0:
+        raise RuntimeError(
+            f"kcore_membership: peel did not reach the fixpoint within "
+            f"max_rounds={max_rounds} ({n_surv} survivors, still shrinking); "
+            f"the result would be a superset of the true {k}-core"
+        )
     if n_surv == 0:
         import ray.data
 

@@ -25,7 +25,9 @@ def _uniform(ids: np.ndarray, stream: int, seed: int) -> np.ndarray:
     """Deterministic U[0,1) per id for a given stream index."""
     key = ids.astype(np.uint64) * _MIX + np.uint64(stream * 2654435761 + seed)
     h = pd.util.hash_array(key.view(np.int64))
-    return h / np.float64(2**64)
+    # 53-bit mantissa path: h/2**64 rounds to exactly 1.0 for h within
+    # ~2^10 of 2^64, which lets floor(u*n) emit the out-of-range vid n
+    return (h >> np.uint64(11)) * np.float64(2.0**-53)
 
 
 def erdos_renyi_edges(n: int, m: int, seed: int = 42, parallelism: int = 8):

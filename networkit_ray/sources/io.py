@@ -84,9 +84,11 @@ def write_edge_list(edges_ds, path: str, separator: str = " ", weighted: bool = 
 
 def read_metis_file(path: str):
     """METIS adjacency format -> Dataset(src, dst, w); DRIVER-SIDE compat
-    loader (see module docstring).  Header: "n m [fmt]"; line i (1-based)
-    lists the 1-based neighbors of vertex i-1 after offsetting; fmt=1
-    (edge weights) stores (neighbor, weight) pairs."""
+    loader (see module docstring).  Header: "n m [fmt [ncon]]"; fmt is a
+    3-bit flag field (100 = vertex sizes, 010 = vertex weights, 001 = edge
+    weights); line i (1-based) is "[size] [vw_1..vw_ncon] nb [w] nb [w] ..."
+    with 1-based neighbor ids.  Vertex sizes/weights are skipped (the edge
+    table has no per-vertex payload); edge weights are carried in ``w``."""
     import ray.data
 
     srcs: list[int] = []
@@ -101,13 +103,23 @@ def read_metis_file(path: str):
                 continue
             if not header:
                 header = line.split()
-                fmt = header[2] if len(header) > 2 else "0"
-                has_w = fmt.endswith("1")
+                fmt = int(header[2]) if len(header) > 2 else 0
+                if not 0 <= fmt <= 111 or fmt % 10 > 1 or (fmt // 10) % 10 > 1:
+                    raise ValueError(f"invalid METIS fmt field: {header[2]!r}")
+                has_size = fmt >= 100
+                has_vw = (fmt // 10) % 10 == 1
+                has_ew = fmt % 10 == 1
+                ncon = int(header[3]) if len(header) > 3 else (1 if has_vw else 0)
                 continue
             toks = line.split()
-            if has_w:
-                pairs = zip(toks[0::2], toks[1::2])
-                for nb, w in pairs:
+            skip = (1 if has_size else 0) + (ncon if has_vw else 0)
+            toks = toks[skip:]
+            if has_ew:
+                if len(toks) % 2:
+                    raise ValueError(
+                        f"METIS line {vid + 1}: odd token count with edge weights"
+                    )
+                for nb, w in zip(toks[0::2], toks[1::2]):
                     srcs.append(vid)
                     dsts.append(int(nb) - 1)
                     ws.append(float(w))

@@ -311,6 +311,40 @@ def test_read_metis(ray_session, tmp_path):
     assert got == {(0, 1), (1, 0), (1, 2), (2, 1)}
 
 
+def test_read_metis_fmt_flags(ray_session, tmp_path):
+    """fmt is a 3-bit flag field: '10' = vertex weights only, '11' = vertex
+    AND edge weights, '1' = edge weights only (ADVICE r2: '11' used to pair
+    the vertex weight with the first neighbor)."""
+    from networkit_ray.sources.io import read_metis_file
+
+    # path 0-1-2, vertex weights 7/8/9, edge weights 0.5/1.5
+    p11 = tmp_path / "g11.metis"
+    p11.write_text("3 2 011\n7 2 0.5\n8 1 0.5 3 1.5\n9 2 1.5\n")
+    out = read_metis_file(str(p11)).to_pandas()
+    got = {(r.src, r.dst): r.w for r in out.itertuples()}
+    assert got == {(0, 1): 0.5, (1, 0): 0.5, (1, 2): 1.5, (2, 1): 1.5}
+
+    p10 = tmp_path / "g10.metis"
+    p10.write_text("3 2 010\n7 2\n8 1 3\n9 2\n")
+    out = read_metis_file(str(p10)).to_pandas()
+    got = set(zip(out["src"], out["dst"]))
+    assert got == {(0, 1), (1, 0), (1, 2), (2, 1)}
+    assert (out["w"] == 1.0).all()
+
+    p1 = tmp_path / "g1.metis"
+    p1.write_text("3 2 1\n2 0.5\n1 0.5 3 1.5\n2 1.5\n")
+    out = read_metis_file(str(p1)).to_pandas()
+    got = {(r.src, r.dst): r.w for r in out.itertuples()}
+    assert got == {(0, 1): 0.5, (1, 0): 0.5, (1, 2): 1.5, (2, 1): 1.5}
+
+    bad = tmp_path / "bad.metis"
+    bad.write_text("3 2 7\n2\n1 3\n2\n")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_metis_file(str(bad))
+
+
 def test_random_walks_valid_and_deterministic(ray_session):
     from networkit_ray.pipelines.walks import random_walks
     from networkit_ray.stages.graphops import symmetrize, canonicalize_undirected
