@@ -32,9 +32,6 @@ from networkit_ray.stages.graphops import (
     symmetrize,
     vertices_from_edges,
 )
-from networkit_ray.state.unionfind import UnionFind
-
-
 def connected_components(
     edges_ds,
     vertices_ds=None,
@@ -416,51 +413,33 @@ def _cc_hashmin(canon, vertices_ds, num_partitions, max_iter):
 def _local_forest(t: pa.Table) -> pa.Table:
     """One edge block -> (vid, local-min-root) equivalence pairs.
 
-    Fully vectorized local contraction: compact vids with np.unique, then
-    hash-min rounds with pointer jumping (new = min(new, new[new])) until
-    stable — O(log n) numpy passes, no per-edge Python (the round-1
-    union-find loop crossed the interpreter once per edge)."""
+    Fully vectorized local contraction (numpy_components: hash-min hooking
+    + pointer-jumping shortcuts — O(log n) numpy passes, no per-edge
+    Python)."""
+    from networkit_ray.pipelines.equivalence import numpy_components
+
     src = t["src"].to_numpy(zero_copy_only=False)
     dst = t["dst"].to_numpy(zero_copy_only=False)
     if len(src) == 0:
         return pa.table(
             {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
         )
-    vids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
-    si, di = inv[: len(src)], inv[len(src) :]
-    lab = np.arange(len(vids), dtype=np.int64)
-    while True:
-        # hook: roots of both endpoints point to the min of the two roots
-        lu, lv = lab[si], lab[di]
-        m = np.minimum(lu, lv)
-        new = lab.copy()
-        np.minimum.at(new, lu, m)
-        np.minimum.at(new, lv, m)
-        # full shortcut (path compression): O(log n) O(n)-passes
-        while True:
-            nn = new[new]
-            if np.array_equal(nn, new):
-                break
-            new = nn
-        if np.array_equal(new, lab):
-            break
-        lab = new
-    roots = vids[lab]  # min index == min vid (vids sorted)
+    vids, roots = numpy_components(src, dst)
     keep = vids != roots  # self pairs carry no information
     return pa.table({"src": vids[keep], "dst": roots[keep]})
 
 
 def _cc_unionfind(canon, vertices_ds, num_partitions, driver_pair_limit):
+    from networkit_ray.pipelines.equivalence import resolve_equivalence_pairs
+
     pairs = canon.select_columns(["src", "dst"]).map_batches(
         _local_forest, batch_format="pyarrow", zero_copy_batch=True
     )
     rounds = 1
     count = pairs.count()
-    # contraction rounds: co-locate pairs, re-run local UF.  Stop when the
-    # pair set stops shrinking — a fully contracted forest has ~(n - #comp)
-    # pairs and cannot shrink further; driver_pair_limit is the threshold
-    # for triggering extra rounds, not a hard cap (the contracted set is
-    # the per-vertex root map and must reach the reducer regardless).
+    # contraction rounds: co-locate pairs, re-run local contraction.  Stop
+    # when the pair set stops shrinking — a fully contracted forest has
+    # ~(n - #comp) pairs and cannot shrink further.
     while count > driver_pair_limit and rounds < 6:
         new_pairs = pairs.repartition(num_partitions, shuffle=True).map_batches(
             _local_forest, batch_format="pyarrow", zero_copy_batch=True
@@ -471,18 +450,23 @@ def _cc_unionfind(canon, vertices_ds, num_partitions, driver_pair_limit):
             break
         pairs, count = new_pairs, new_count
 
-    # final reducer: one union-find over the contracted equivalence set
-    uf = UnionFind()
-    for batch in pairs.iter_batches(batch_format="pyarrow", batch_size=None):
-        uf.union_arrays(
-            batch["src"].to_numpy(zero_copy_only=False),
-            batch["dst"].to_numpy(zero_copy_only=False),
-        )
-    vids, roots = uf.roots()
-    import ray.data
+    # endgame: the contracted set is ~the per-vertex root map, O(V) —
+    # resolve_equivalence_pairs keeps it DISTRIBUTED (star contraction)
+    # above driver_pair_limit and solves small sets in one vectorized
+    # driver pass (no per-pair interpreted union-find either way)
+    root_ds = resolve_equivalence_pairs(
+        pairs, num_partitions=num_partitions, driver_pair_limit=driver_pair_limit
+    ).materialize()
 
-    root_tbl = pa.table({"vid": vids, "label": roots})
-    root_ds = ray.data.from_arrow(root_tbl)
+    if root_ds.count() == 0:
+        # edgeless graph: every vertex is its own component (empty join
+        # sides crash Ray 2.49 shuffles — compat.py)
+        labels = vertices_ds.map_batches(
+            lambda t: pa.table({"vid": t["vid"], "label": t["vid"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return labels, rounds
 
     # vertices not touched by any edge are their own component
     labels = (

@@ -31,7 +31,6 @@ import pyarrow.compute as pc
 
 from ray.data.aggregate import Min
 
-from networkit_ray.state.unionfind import UnionFind
 
 MERSENNE = (1 << 61) - 1
 
@@ -262,6 +261,7 @@ def minhash_dedup_groups(
     threshold=0.7,
     num_partitions=8,
     seed=42,
+    driver_pair_limit=2_000_000,
 ):
     """Full MinHash-LSH near-dup pipeline -> Dataset(doc_id, dup_group).
 
@@ -337,32 +337,70 @@ def minhash_dedup_groups(
             }
         )
 
-    verified = joined.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    verified = joined.map_batches(
+        verify, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
-    # duplicate components: verified pairs are tiny vs the corpus -> stream
-    # into a driver union-find (duplicate pairs across bands are no-ops),
-    # then broadcast the root map — it only contains docs WITH a duplicate.
-    uf = UnionFind()
-    for batch in verified.iter_batches(batch_format="pyarrow", batch_size=None):
-        uf.union_arrays(
-            batch["a"].to_numpy(zero_copy_only=False),
-            batch["b"].to_numpy(zero_copy_only=False),
+    # duplicate components: on a high-duplication web corpus verified pairs
+    # are O(n_docs), so the component solve must stay distributed.
+    # resolve_equivalence_pairs routes small sets to one vectorized driver
+    # pass (broadcast root map below) and large sets through the
+    # large-star/small-star contraction — never a per-pair driver loop.
+    from networkit_ray.pipelines.equivalence import resolve_equivalence_pairs
+
+    n_verified = verified.count()
+    if n_verified <= driver_pair_limit:
+        roots_ds = resolve_equivalence_pairs(
+            verified,
+            num_partitions=num_partitions,
+            driver_pair_limit=driver_pair_limit,
         )
-    vids, roots = uf.roots()
-    order = np.argsort(vids)
-    ref = ray.put((vids[order], roots[order]))
+        tbl = roots_ds.to_pandas()  # bounded by driver_pair_limit
+        vids = tbl["vid"].to_numpy(np.int64)
+        roots = tbl["label"].to_numpy(np.int64)
+        order = np.argsort(vids)
+        ref = ray.put((vids[order], roots[order]))
 
-    def assign(t: pa.Table, _ref=ref) -> pa.Table:
-        v, r = ray.get(_ref)  # plasma broadcast, zero-copy per task
-        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
-        if len(v) == 0:
-            return pa.table({"doc_id": ids, "dup_group": ids})
-        pos = np.minimum(np.searchsorted(v, ids), len(v) - 1)
-        grp = np.where(v[pos] == ids, r[pos], ids)
-        return pa.table({"doc_id": ids, "dup_group": grp})
+        def assign(t: pa.Table, _ref=ref) -> pa.Table:
+            v, r = ray.get(_ref)  # plasma broadcast, zero-copy per task
+            ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            if len(v) == 0:
+                return pa.table({"doc_id": ids, "dup_group": ids})
+            pos = np.minimum(np.searchsorted(v, ids), len(v) - 1)
+            grp = np.where(v[pos] == ids, r[pos], ids)
+            return pa.table({"doc_id": ids, "dup_group": grp})
 
-    return docs_ds.select_columns(["doc_id"]).map_batches(
-        assign, batch_format="pyarrow", zero_copy_batch=True
+        return docs_ds.select_columns(["doc_id"]).map_batches(
+            assign, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # large verified set: distributed star contraction + co-partitioned join
+    roots_ds = resolve_equivalence_pairs(
+        verified, num_partitions=num_partitions, driver_pair_limit=driver_pair_limit
+    ).materialize()
+    roots_ds = roots_ds.map_batches(
+        lambda t: pa.table({"doc_id": t["vid"], "dup_group": t["label"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return (
+        docs_ds.select_columns(["doc_id"])
+        .join(
+            roots_ds,
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=("doc_id",),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "dup_group": pc.coalesce(t["dup_group"], t["doc_id"]),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     )
 
 
