@@ -107,16 +107,31 @@ def _semi_join(ds, keep_ds, on, num_partitions, out_cols):
     )
 
 
-def _reach(edges, start_vid, num_partitions, reverse=False):
-    """Directed reachable set from start_vid over a materialized edge set
-    -> materialized Dataset(vid).  Frontier rounds: one inner join + one
-    anti-join (left_outer + null filter) per round."""
-    import ray.data
+_SCC_MIX = np.uint64(0x9E3779B97F4A7C15)
 
+
+def _scc_priority(vids: np.ndarray, rnd: int, seed: int) -> np.ndarray:
+    """Counter-based per-round vertex priority (deterministic; re-randomized
+    each round so adversarial vid orderings cannot force sequential pivot
+    chains)."""
+    import pandas as pd
+
+    key = vids.astype(np.uint64) * _SCC_MIX + np.uint64(rnd * 2654435761 + seed)
+    return pd.util.hash_array(key.view(np.int64)).view(np.int64) >> 1
+
+
+def _tag_reach(edges, seeds, num_partitions, reverse=False):
+    """Multi-source reachability, one source per tag group, over a
+    materialized same-tag edge set -> materialized Dataset(vid, tag).
+    Every tag's frontier expands in the SAME join rounds (the multi-pivot
+    replacement for one-reach-per-pivot); per-round cost is one inner join
+    + one anti-join regardless of how many pivots are live.  A vid belongs
+    to exactly one tag, so frontier rows carry the tag and joins key on vid
+    alone."""
     src_col, dst_col = ("dst", "src") if reverse else ("src", "dst")
-    visited = ray.data.from_arrow(
-        pa.table({"vid": np.array([start_vid], dtype=np.int64)})
-    ).materialize()
+    visited = seeds.materialize()
+    if edges.count() == 0:  # empty join sides crash Ray 2.49 (compat.py)
+        return visited
     frontier = visited
     while True:
         nxt = _scc_proj(
@@ -127,17 +142,15 @@ def _reach(edges, start_vid, num_partitions, reverse=False):
                 on=(src_col,),
                 right_on=("vid",),
             ),
-            {"vid": dst_col},
+            {"vid": dst_col, "tag": "tag"},
         )
         nxt = (
             nxt.groupby("vid", num_partitions=num_partitions)
-            .count()
-            .select_columns(["vid"])
+            .aggregate(Min("tag", alias_name="tag"))  # distinct vid (one tag)
             .materialize()
         )
         if nxt.count() == 0:  # empty join sides crash Ray 2.49 (compat.py)
             return visited
-        # anti-join vs visited
         marked = visited.map_batches(
             lambda t: pa.table(
                 {"vid": t["vid"], "seen": np.ones(t.num_rows, dtype=np.int64)}
@@ -154,7 +167,10 @@ def _reach(edges, start_vid, num_partitions, reverse=False):
             )
             .map_batches(
                 lambda t: pa.table(
-                    {"vid": t["vid"].filter(pc.is_null(t["seen"]))}
+                    {
+                        "vid": t["vid"].filter(pc.is_null(t["seen"])),
+                        "tag": t["tag"].filter(pc.is_null(t["seen"])),
+                    }
                 ),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
@@ -171,27 +187,37 @@ def strongly_connected_components(
     edges_ds,
     vertices_ds=None,
     num_partitions: int = 8,
-    max_pivots: int = 64,
     max_trim_rounds: int = 100,
+    seed: int = 42,
+    max_pivots: int | None = None,  # retained for API compat; unused
 ):
-    """Directed SCC via FW-BW-Trim (Fleischer/Hendrickson/Pinar 2000 with
-    the trimming step of McLendon et al.) -> (Dataset(vid, label), stats);
-    label = min vid of the SCC.
+    """Directed SCC via parallel FW-BW-Trim with multi-pivot coloring ->
+    (Dataset(vid, label), stats); label = min vid of the SCC.
+
+    Fleischer/Hendrickson/Pinar FW-BW with McLendon-style trimming, but the
+    round-2 one-pivot-per-round loop (and its hard ``max_pivots`` raise)
+    is replaced by the ColorSCC refinement (Orzan; Slota/Rajamanickam
+    Multistep): EVERY remaining vertex is a potential pivot each round.
 
     - TRIM rounds peel vertices with zero in- or out-degree inside the
-      remaining subgraph (each is a singleton SCC) — this alone resolves
-      DAG-like graphs (e.g. the bipartite customer-supplier projection)
-      with no pivoting at all.
-    - Each PIVOT round takes the minimum remaining vid, computes forward
-      and backward reachable sets (frontier joins), labels FW∩BW as one
-      SCC, removes it, and resumes trimming.  ``max_pivots`` bounds the
-      sequential pivot count; graphs with more non-trivial SCCs than that
-      raise (documented limitation — the reference's Tarjan is inherently
-      sequential; FW-BW is the standard parallel compromise).
+      remaining subgraph (each a singleton SCC); this alone resolves
+      DAG-like graphs with no coloring at all.
+    - Each COLOR round draws a deterministic per-round random priority for
+      every vertex, forward-propagates the minimum reaching priority to a
+      fixpoint (directed hash-min), takes every vertex whose color equals
+      its own priority as a ROOT (disjoint regions each produce their own
+      root — e.g. N disjoint cycles all resolve in ONE round), runs ONE
+      multi-source backward reach from all roots simultaneously restricted
+      to same-color edges, and labels each color's reached set (= exactly
+      SCC(root)) with its min vid.  Priorities re-randomize every round, so
+      adversarial vid orderings cannot force sequential behavior; a
+      priority collision between two roots is detected (tiny root-side
+      groupby) and the round redrawn — correctness never depends on hash
+      uniqueness.
     """
     import ray.data
 
-    stats = {"trim_rounds": 0, "pivots": 0}
+    stats = {"trim_rounds": 0, "pivots": 0, "redraws": 0}
     edges = (
         drop_self_loops(dedup_edges(edges_ds, weight="one"))
         .select_columns(["src", "dst"])
@@ -202,25 +228,21 @@ def strongly_connected_components(
     remaining = vertices_ds.select_columns(["vid"]).materialize()
     label_parts: list = []
 
-    def _label_rows(vids_ds, label_of_vid=None, const_label=None):
-        def mk(t: pa.Table) -> pa.Table:
-            v = t["vid"].combine_chunks().to_numpy(zero_copy_only=False)
-            lab = (
-                v
-                if const_label is None
-                else np.full(len(v), const_label, dtype=np.int64)
-            )
-            return pa.table({"vid": v, "label": lab})
+    def _self_label_rows(vids_ds):
+        return vids_ds.map_batches(
+            lambda t: pa.table({"vid": t["vid"], "label": t["vid"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
 
-        return vids_ds.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
-
+    rseq = 0  # monotone draw counter (bumps on redraws too)
     while remaining.count() > 0:
         # ---- trim loop ---------------------------------------------------
         for _ in range(max_trim_rounds):
             stats["trim_rounds"] += 1
             if edges.count() == 0:
                 # everything left is a singleton SCC
-                label_parts.append(_label_rows(remaining).materialize())
+                label_parts.append(_self_label_rows(remaining).materialize())
                 remaining = ray.data.from_arrow(
                     pa.table({"vid": pa.array([], pa.int64())})
                 )
@@ -239,7 +261,7 @@ def strongly_connected_components(
             n_rem = remaining.count()
             if n_both == 0:
                 # pure DAG remainder: every remaining vertex is a singleton
-                label_parts.append(_label_rows(remaining).materialize())
+                label_parts.append(_self_label_rows(remaining).materialize())
                 remaining = ray.data.from_arrow(
                     pa.table({"vid": pa.array([], pa.int64())})
                 )
@@ -273,7 +295,7 @@ def strongly_connected_components(
             )
             if trimmed.count() == 0:
                 break
-            label_parts.append(_label_rows(trimmed).materialize())
+            label_parts.append(_self_label_rows(trimmed).materialize())
             remaining = both
             if remaining.count() == 0:
                 break
@@ -289,22 +311,180 @@ def strongly_connected_components(
             ).materialize()
         if remaining.count() == 0:
             break
-        # ---- pivot: FW ∩ BW ---------------------------------------------
+
+        # ---- multi-pivot coloring round ---------------------------------
         stats["pivots"] += 1
-        if stats["pivots"] > max_pivots:
-            raise RuntimeError(
-                f"strongly_connected_components: pivot budget {max_pivots} "
-                f"exhausted with {remaining.count()} vertices remaining — "
-                "this graph's SCC structure needs more FW-BW rounds than "
-                "configured (raise max_pivots)."
+        while True:  # redraw loop (priority collisions between roots)
+            rseq += 1
+
+            def _init_colors(t: pa.Table, _r=rseq) -> pa.Table:
+                v = t["vid"].combine_chunks().to_numpy(zero_copy_only=False)
+                return pa.table({"vid": v, "ck": _scc_priority(v, _r, seed)})
+
+            colors = remaining.map_batches(
+                _init_colors, batch_format="pyarrow", zero_copy_batch=True
+            ).materialize()
+
+            # forward hash-min of priorities to the fixpoint: ck(v) = min
+            # priority over vertices with a directed path to v
+            while True:
+                msgs = (
+                    edges.join(
+                        colors,
+                        join_type="inner",
+                        num_partitions=num_partitions,
+                        on=("src",),
+                        right_on=("vid",),
+                    )
+                    .map_batches(
+                        lambda t: pa.table({"vid": t["dst"], "m": t["ck"]})
+                        .group_by("vid")
+                        .aggregate([("m", "min")])
+                        .rename_columns(["vid", "m"]),
+                        batch_format="pyarrow",
+                        zero_copy_batch=True,
+                    )
+                    .groupby("vid", num_partitions=num_partitions)
+                    .aggregate(Min("m", alias_name="m"))
+                )
+                joined = colors.join(
+                    msgs,
+                    join_type="left_outer",
+                    num_partitions=num_partitions,
+                    on=("vid",),
+                )
+                new_colors = joined.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "vid": t["vid"],
+                            "ck": pc.min_element_wise(
+                                t["ck"],
+                                pc.fill_null(t["m"], np.iinfo(np.int64).max),
+                            ),
+                            "chg": pc.cast(
+                                pc.less(
+                                    pc.min_element_wise(
+                                        t["ck"],
+                                        pc.fill_null(
+                                            t["m"], np.iinfo(np.int64).max
+                                        ),
+                                    ),
+                                    t["ck"],
+                                ),
+                                pa.int64(),
+                            ),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                ).materialize()
+                changed = new_colors.sum("chg") or 0
+                colors = new_colors.select_columns(["vid", "ck"]).materialize()
+                if changed == 0:
+                    break
+
+            # roots: own priority survived as the color
+            def _root_rows(t: pa.Table, _r=rseq) -> pa.Table:
+                v = t["vid"].combine_chunks().to_numpy(zero_copy_only=False)
+                ck = t["ck"].combine_chunks().to_numpy(zero_copy_only=False)
+                is_root = ck == _scc_priority(v, _r, seed)
+                return pa.table({"vid": v[is_root], "tag": ck[is_root]})
+
+            roots = colors.map_batches(
+                _root_rows, batch_format="pyarrow", zero_copy_batch=True
+            ).materialize()
+            dup_roots = (
+                roots.groupby("tag", num_partitions=num_partitions)
+                .count()
+                .map_batches(
+                    lambda t: pa.table(
+                        {
+                            "n": pa.array(
+                                [
+                                    int(
+                                        pc.sum(
+                                            pc.cast(
+                                                pc.greater(t["count()"], 1),
+                                                pa.int64(),
+                                            )
+                                        ).as_py()
+                                        or 0
+                                    )
+                                ],
+                                pa.int64(),
+                            )
+                        }
+                    ),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+                .sum("n")
             )
-        pivot = int(remaining.min("vid"))
-        fw = _reach(edges, pivot, num_partitions, reverse=False)
-        bw = _reach(edges, pivot, num_partitions, reverse=True)
-        scc = _semi_join(fw, bw, "vid", num_partitions, {"vid": "vid"}).materialize()
-        label_parts.append(_label_rows(scc, const_label=pivot).materialize())
-        # remove the SCC from remaining + edges
-        scc_marked = scc.map_batches(
+            if not dup_roots:
+                break
+            stats["redraws"] += 1  # ~2^-63 per root pair; redraw the round
+
+        # same-color edge set for the backward sweep
+        ce = _scc_proj(
+            edges.join(
+                colors,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("src",),
+                right_on=("vid",),
+            ),
+            {"src": "src", "dst": "dst", "ck_s": "ck"},
+        )
+        ce = _scc_proj(
+            ce.join(
+                colors,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("dst",),
+                right_on=("vid",),
+            ),
+            {"src": "src", "dst": "dst", "ck_s": "ck_s", "ck_d": "ck"},
+        )
+        ce = ce.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t["src"].filter(pc.equal(t["ck_s"], t["ck_d"])),
+                    "dst": t["dst"].filter(pc.equal(t["ck_s"], t["ck_d"])),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+
+        # one multi-source backward reach from ALL roots at once; a color's
+        # reached set is exactly SCC(root) (root reaches v forward by color
+        # definition; v reaches root backward within the class)
+        reached = _tag_reach(ce, roots, num_partitions, reverse=True)
+        scc_min = (
+            reached.map_batches(
+                lambda t: pa.table({"tag": t["tag"], "label": t["vid"]})
+                .group_by("tag")
+                .aggregate([("label", "min")])
+                .rename_columns(["tag", "label"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .groupby("tag", num_partitions=num_partitions)
+            .aggregate(Min("label", alias_name="label"))
+        )
+        labeled = _scc_proj(
+            reached.join(
+                scc_min,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("tag",),
+            ),
+            {"vid": "vid", "label": "label"},
+        ).materialize()
+        label_parts.append(labeled)
+
+        # remove the labeled SCCs from remaining + edges
+        gone = labeled.map_batches(
             lambda t: pa.table(
                 {"vid": t["vid"], "gone": np.ones(t.num_rows, dtype=np.int64)}
             ),
@@ -313,13 +493,15 @@ def strongly_connected_components(
         ).materialize()
         remaining = (
             remaining.join(
-                scc_marked,
+                gone,
                 join_type="left_outer",
                 num_partitions=num_partitions,
                 on=("vid",),
             )
             .map_batches(
-                lambda t: pa.table({"vid": t["vid"].filter(pc.is_null(t["gone"]))}),
+                lambda t: pa.table(
+                    {"vid": t["vid"].filter(pc.is_null(t["gone"]))}
+                ),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
@@ -329,7 +511,8 @@ def strongly_connected_components(
             break
         edges = _semi_join(
             _semi_join(
-                edges, remaining, "src", num_partitions, {"src": "src", "dst": "dst"}
+                edges, remaining, "src", num_partitions,
+                {"src": "src", "dst": "dst"},
             ),
             remaining,
             "dst",
@@ -338,7 +521,7 @@ def strongly_connected_components(
         ).materialize()
 
     if not label_parts:
-        out = _label_rows(vertices_ds.select_columns(["vid"]))
+        out = _self_label_rows(vertices_ds.select_columns(["vid"]))
     else:
         out = label_parts[0]
         for p in label_parts[1:]:

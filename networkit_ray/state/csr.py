@@ -342,6 +342,69 @@ class CSRPartition:
     def depths_table(self) -> pa.Table:
         return pa.table({"vid": self.owned, "depth": self.depth})
 
+    # ---- weighted SSSP (delta-stepping bucketed frontier) ------------------
+    def sssp_init(self, sources: np.ndarray, delta: float) -> int:
+        """Tentative distances inf everywhere, 0 at owned sources; sources
+        start dirty.  Weights must be non-negative (bucket monotonicity)."""
+        self._sp_delta = float(delta)
+        n = self.n_owned
+        self.dist = np.full(n, np.inf, dtype=np.float64)
+        self._sp_dirty = np.zeros(n, dtype=bool)
+        sources = np.asarray(sources, dtype=np.int64)
+        if n == 0 or len(sources) == 0:
+            return 0
+        pos = np.minimum(np.searchsorted(self.owned, sources), n - 1)
+        hit = self.owned[pos] == sources
+        mine = np.unique(pos[hit])
+        self.dist[mine] = 0.0
+        self._sp_dirty[mine] = True
+        return int(len(mine))
+
+    def sssp_messages(self, k: int):
+        """Relax out-edges of the current bucket's dirty vertices
+        (bucket(v) = floor(dist/delta) == k): per target partition one
+        pre-MINIMIZED float array of candidate distances — the combiner
+        shape of pr_messages with min instead of sum.  Emitting clears the
+        frontier's dirty flags."""
+        with np.errstate(invalid="ignore"):
+            bucket = np.floor(self.dist / self._sp_delta)
+        frontier = self._sp_dirty & (bucket == k)
+        self._sp_dirty[frontier] = False
+        out = []
+        for src_local, w, out_idx, n_out in self.route:
+            if n_out == 0:
+                out.append(np.empty(0, dtype=np.float64))
+                continue
+            mask = frontier[src_local]
+            m = np.full(n_out, np.inf, dtype=np.float64)
+            if mask.any():
+                np.minimum.at(
+                    m, out_idx[mask], self.dist[src_local[mask]] + w[mask]
+                )
+            out.append(m)
+        return out[0] if self.P == 1 else tuple(out)
+
+    def sssp_apply(self, *msgs) -> float:
+        """Take elementwise mins; improved vertices become dirty.  Returns
+        the minimum bucket index over dirty vertices (-1 if none) — the
+        driver advances the global bucket to the min across partitions."""
+        incoming = np.full(self.n_owned, np.inf, dtype=np.float64)
+        for s, m in enumerate(msgs):
+            if len(m):
+                idx = self.in_idx[s]  # unique per route: fancy min is safe
+                incoming[idx] = np.minimum(incoming[idx], m)
+        improved = incoming < self.dist
+        self.dist[improved] = incoming[improved]
+        self._sp_dirty |= improved
+        if not self._sp_dirty.any():
+            return -1.0
+        return float(
+            np.floor(self.dist[self._sp_dirty].min() / self._sp_delta)
+        )
+
+    def dist_table(self) -> pa.Table:
+        return pa.table({"vid": self.owned, "dist": self.dist})
+
     def bfs_stats_part(self) -> tuple[float, int, float]:
         """(sum of finite depths, reached count, sum of 1/depth for
         depth>0) — closeness numerator/denominator + harmonic closeness."""
