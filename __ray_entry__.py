@@ -324,6 +324,21 @@ def q_bfs_depths(sf_dir):
     return depths
 
 
+def q_sssp_weighted(sf_dir):
+    """Weighted shortest paths (delta-stepping) on the customer-supplier
+    graph from the minimum vid; parallel edges collapse to min weight.
+    Weights are lineitem counts (small ints), so the DuckDB oracle's
+    bounded-dist recursive CTE stays tractable (true max dist is 4 at
+    sf0.01; the cap of 12 is slack, not binding)."""
+    from networkit_ray.pipelines.traversal import sssp_weighted
+    from networkit_ray.stages.graphops import vertices_from_edges
+
+    edges = _edges(sf_dir)
+    src = vertices_from_edges(edges).min("vid")
+    dist, _ = sssp_weighted(edges, [int(src)], num_partitions=P, undirected=True)
+    return dist
+
+
 def q_closeness(sf_dir):
     """Exact closeness for the 4 smallest-vid suppliers of the co-part
     graph (sampled-source closeness; one graph build, one BFS per source)."""
@@ -541,6 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "cosine_near_dup_pairs": q_cosine_near_dups,
         "bfs_depths": q_bfs_depths,
+        "sssp_weighted": q_sssp_weighted,
         "closeness_sampled": q_closeness,
         "eigenvector_centrality": q_eigenvector,
         "kcore_membership": q_kcore,
@@ -941,6 +957,24 @@ FROM verts v LEFT JOIN md m ON v.vid = m.vid
 """
 )
 
+_SSSP_SQL = (
+    _GRAPH_PRELUDE
+    + """,
+ue AS (SELECT LEAST(src, dst) AS s, GREATEST(src, dst) AS d,
+              CAST(MIN(w) AS BIGINT) AS w
+       FROM edges GROUP BY 1, 2),
+sue AS (SELECT s, d, w FROM ue UNION ALL SELECT d, s, w FROM ue),
+sp AS (
+  SELECT (SELECT MIN(vid) FROM verts) AS vid, 0 AS dist
+  UNION
+  SELECT e.d, b.dist + e.w
+  FROM sp b JOIN sue e ON e.s = b.vid
+  WHERE b.dist + e.w < 12
+)
+SELECT vid, CAST(MIN(dist) AS DOUBLE) AS dist FROM sp GROUP BY 1
+"""
+)
+
 _SUPPLIER_RECURSIVE_PRELUDE = _SUPPLIER_PRELUDE.replace(
     "WITH ps", "WITH RECURSIVE ps", 1
 )
@@ -1192,6 +1226,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": _KNN_IVF_SQL,
         "cosine_near_dup_pairs": _COSINE_DUPS_SQL,
         "bfs_depths": _BFS_SQL,
+        "sssp_weighted": _SSSP_SQL,
         "strongly_connected_components": _SCC_SQL,
         "diameter_bounds": _DIAMETER_SQL,
         "partition_quality": _partition_quality_sql(PLP_ITERS),

@@ -43,7 +43,8 @@ def canonicalize_undirected(
     """Directed/multi edge table -> canonical undirected simple edges.
 
     Each edge is swapped to (min, max); self-loops optionally dropped; then
-    exact dedup with weight aggregation ``sum`` | ``max`` | ``one``.
+    exact dedup with weight aggregation ``sum`` | ``max`` | ``min`` | ``one``
+    (``min`` is the shortest-path semantics for parallel edges).
     One shuffle on (src, dst), preceded by a per-batch local combine.
 
     ``dedupe=False`` skips the global groupby and returns locally-combined
@@ -61,8 +62,9 @@ def canonicalize_undirected(
         if drop_loops:
             out = out.filter(pc.not_equal(out["src"], out["dst"]))
         # local pre-combine: collapse in-batch duplicates before the shuffle
+        local_agg = {"sum": "sum", "min": "min"}.get(weight, "max")
         out = out.group_by(["src", "dst"]).aggregate(
-            [("w", "sum" if weight == "sum" else "max")]
+            [("w", local_agg)]
         ).rename_columns(EDGE_NAMES)
         if weight == "one" and not dedupe:
             # duplicates across batches would double-count: a "one" weight
@@ -75,7 +77,10 @@ def canonicalize_undirected(
     ds = edges_ds.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
     if not dedupe:
         return ds
-    agg = Sum("w", alias_name="w") if weight == "sum" else Max("w", alias_name="w")
+    agg = {
+        "sum": Sum("w", alias_name="w"),
+        "min": Min("w", alias_name="w"),
+    }.get(weight, Max("w", alias_name="w"))
     ds = ds.groupby(["src", "dst"]).aggregate(agg)
     if weight == "one":
         ds = ds.map_batches(
@@ -89,18 +94,24 @@ def canonicalize_undirected(
 
 
 def dedup_edges(edges_ds, weight: str = "sum"):
-    """Exact (src, dst) dedup of a *directed* edge table; weight sum/max/one."""
+    """Exact (src, dst) dedup of a *directed* edge table; weight
+    sum/max/min/one (min = shortest-path semantics for parallel edges)."""
+
+    local_agg = {"sum": "sum", "min": "min"}.get(weight, "max")
 
     def pre(t: pa.Table) -> pa.Table:
         return (
             t.select(EDGE_NAMES)
             .group_by(["src", "dst"])
-            .aggregate([("w", "sum" if weight == "sum" else "max")])
+            .aggregate([("w", local_agg)])
             .rename_columns(EDGE_NAMES)
         )
 
     ds = edges_ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
-    agg = Sum("w", alias_name="w") if weight == "sum" else Max("w", alias_name="w")
+    agg = {
+        "sum": Sum("w", alias_name="w"),
+        "min": Min("w", alias_name="w"),
+    }.get(weight, Max("w", alias_name="w"))
     ds = ds.groupby(["src", "dst"]).aggregate(agg)
     if weight == "one":
         ds = ds.map_batches(

@@ -862,6 +862,47 @@ class BSPGraph:
             return None, rounds
         return self._collect("depths_table"), rounds
 
+    # ---- weighted SSSP (delta-stepping) ------------------------------------
+    def sssp(self, sources: np.ndarray, delta: float = 1.0, stats=None):
+        """Delta-stepping shortest paths (Meyer/Sanders 2003, bucketed
+        frontier without the light/heavy edge split — each bucket relaxes
+        all out-edges, re-relaxation bounded by bucket width): the driver
+        tracks the global current bucket k = min over partitions of the
+        dirty vertices' floor(dist/delta); a round relaxes bucket k's dirty
+        frontier everywhere at once (messages are per-partition-pair
+        pre-minimized float arrays).  Non-negative weights required; exact
+        at termination (the final state is the Bellman-Ford fixpoint).
+        Returns (Dataset(vid, dist) with inf for unreachable, rounds)."""
+        P, actors = self.P, self.actors
+        found = sum(
+            ray.get([a.sssp_init.remote(np.asarray(sources), delta) for a in actors])
+        )
+        rounds = 0
+        t0 = time.perf_counter()
+        k = 0.0
+        while found > 0:
+            rounds += 1
+            if P == 1:
+                msg_refs = [[actors[0].sssp_messages.remote(k)]]
+            else:
+                msg_refs = [
+                    list(a.sssp_messages.options(num_returns=P).remote(k))
+                    for a in actors
+                ]
+            nbs = ray.get(
+                [
+                    actors[t].sssp_apply.remote(*[msg_refs[s][t] for s in range(P)])
+                    for t in range(P)
+                ]
+            )
+            live = [b for b in nbs if b >= 0.0]
+            if not live:
+                break
+            k = min(live)
+        if stats is not None:
+            stats.setdefault("iter_wall_s", []).append(time.perf_counter() - t0)
+        return self._collect("dist_table"), rounds
+
     def bfs_stats(self) -> tuple[float, int, float]:
         """(sum of finite depths, reached count, sum of reciprocal depths)
         over the whole graph, after a bfs() run."""

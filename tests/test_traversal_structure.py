@@ -448,3 +448,74 @@ def test_luby_mis_properties(name, ray_session):
         luby_mis(edges_dataset(G), num_partitions=4).to_pandas()["vid"].astype(int)
     )
     assert mis == mis2
+
+
+# ---- weighted SSSP (delta-stepping) ---------------------------------------
+
+
+def _nx_weighted(name="karate", seed=3):
+    import networkx as nx
+
+    G = fixture_graph(name)
+    rng = np.random.default_rng(seed)
+    for u, v in G.edges():
+        G[u][v]["weight"] = float(rng.integers(1, 8))
+    return G
+
+
+@pytest.mark.parametrize("delta", [None, 0.5, 4.0])
+def test_sssp_vs_networkx_dijkstra(ray_session, delta):
+    import networkx as nx
+
+    from networkit_ray.pipelines.traversal import sssp_weighted
+
+    G = _nx_weighted()
+    ds = edges_dataset(G)
+    out, rounds = sssp_weighted(
+        ds, [0], num_partitions=3, undirected=True, delta=delta
+    )
+    got = out.to_pandas().set_index("vid")["dist"]
+    want = nx.single_source_dijkstra_path_length(G, 0)
+    assert len(got) == len(want)
+    for v, d in want.items():
+        assert abs(got[int(v)] - d) < 1e-9, (v, got[int(v)], d)
+    assert rounds > 0
+
+
+def test_sssp_directed_and_unreachable(ray_session):
+    import networkx as nx
+    import ray.data
+
+    from networkit_ray.pipelines.traversal import sssp_weighted
+
+    D = nx.DiGraph()
+    D.add_weighted_edges_from(
+        [(0, 1, 2.0), (1, 2, 2.0), (0, 2, 5.0), (3, 0, 1.0), (2, 4, 0.5)]
+    )
+    src = np.array([u for u, v in D.edges()], dtype=np.int64)
+    dst = np.array([v for u, v in D.edges()], dtype=np.int64)
+    w = np.array([D[u][v]["weight"] for u, v in D.edges()], dtype=np.float64)
+    ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst, "w": w}))
+    out, _ = sssp_weighted(ds, [0], num_partitions=2, undirected=False)
+    got = dict(zip(out.to_pandas()["vid"], out.to_pandas()["dist"]))
+    # vertex 3 unreachable from 0 in the directed graph
+    assert got == {0: 0.0, 1: 2.0, 2: 4.0, 4: 4.5}
+
+
+def test_sssp_parallel_edges_min_weight(ray_session):
+    import ray.data
+
+    from networkit_ray.pipelines.traversal import sssp_weighted
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": np.array([0, 0, 1], dtype=np.int64),
+                "dst": np.array([1, 1, 2], dtype=np.int64),
+                "w": np.array([9.0, 2.0, 1.0], dtype=np.float64),
+            }
+        )
+    )
+    out, _ = sssp_weighted(ds, [0], num_partitions=2, undirected=True)
+    got = dict(zip(out.to_pandas()["vid"], out.to_pandas()["dist"]))
+    assert got == {0: 0.0, 1: 2.0, 2: 3.0}
