@@ -324,6 +324,26 @@ def q_bfs_depths(sf_dir):
     return depths
 
 
+def q_partition_compare(sf_dir):
+    """NMI / ARI / Rand / Jaccard between PLP labelings at 2 vs 5
+    iterations (161 vs 2 communities at sf0.01 — both non-degenerate)."""
+    from networkit_ray.pipelines.community import compare_partitions
+    from networkit_ray.pipelines.labelprop import label_propagation
+
+    edges = _edges(sf_dir)
+    lb, _, la = label_propagation(
+        edges,
+        fixed_iters=PLP_ITERS,
+        num_partitions=P,
+        engine="actor",
+        snapshot_at=2,
+    )
+    out = compare_partitions(la, lb, num_partitions=P)
+    for c in ("nmi", "ari", "rand", "jaccard"):
+        out = _round6(out, c)
+    return out
+
+
 def q_sssp_weighted(sf_dir):
     """Weighted shortest paths (delta-stepping) on the customer-supplier
     graph from the minimum vid; parallel edges collapse to min weight.
@@ -565,6 +585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strongly_connected_components": q_scc,
         "diameter_bounds": q_diameter,
         "partition_quality": q_partition_quality,
+        "partition_compare": q_partition_compare,
         "approx_betweenness": q_betweenness,
         "louvain_communities": q_louvain,
         "luby_mis": q_luby_mis,
@@ -1042,6 +1063,52 @@ SELECT FLOOR(COALESCE((SELECT w_in FROM wi), 0) / (SELECT W FROM ww)
     )
 
 
+def _partition_compare_sql(it_a: int, it_b: int) -> str:
+    """NMI/ARI/Rand/Jaccard between PLP labelings at it_a vs it_b
+    iterations; mirrors compare_partitions() (community.py)."""
+    assert it_a < it_b
+    return _plp_sql(it_b).replace(
+        "SELECT vid, label FROM plp WHERE iter = " + str(it_b),
+        f""", la AS (SELECT vid, label FROM plp WHERE iter = {it_a}),
+lb AS (SELECT vid, label FROM plp WHERE iter = {it_b}),
+cont AS (
+  SELECT a.label AS x, b.label AS y, CAST(COUNT(*) AS DOUBLE) AS nij
+  FROM la a JOIN lb b USING (vid) GROUP BY 1, 2
+),
+tot AS (SELECT SUM(nij) AS n FROM cont),
+ai AS (SELECT x, SUM(nij) AS a FROM cont GROUP BY 1),
+bj AS (SELECT y, SUM(nij) AS b FROM cont GROUP BY 1),
+mi AS (
+  SELECT SUM(c.nij / t.n * LN(t.n * c.nij / (ai.a * bj.b))) AS mi
+  FROM cont c JOIN ai ON c.x = ai.x JOIN bj ON c.y = bj.y CROSS JOIN tot t
+),
+ha AS (SELECT -SUM(a / t.n * LN(a / t.n)) AS h FROM ai CROSS JOIN tot t),
+hb AS (SELECT -SUM(b / t.n * LN(b / t.n)) AS h FROM bj CROSS JOIN tot t),
+pc AS (
+  SELECT (SELECT n * (n - 1) / 2.0 FROM tot) AS tt,
+         (SELECT SUM(a * (a - 1) / 2.0) FROM ai) AS p,
+         (SELECT SUM(b * (b - 1) / 2.0) FROM bj) AS q,
+         (SELECT SUM(nij * (nij - 1) / 2.0) FROM cont) AS s
+)
+SELECT
+  FLOOR((CASE WHEN ha.h + hb.h = 0 THEN 1.0
+         ELSE 2.0 * mi.mi / (ha.h + hb.h) END) * 1000000 + 0.5)
+      / 1000000.0 AS nmi,
+  FLOOR((CASE WHEN (pc.p + pc.q) / 2.0 - pc.p * pc.q / pc.tt = 0 THEN 1.0
+         ELSE (pc.s - pc.p * pc.q / pc.tt)
+              / ((pc.p + pc.q) / 2.0 - pc.p * pc.q / pc.tt) END)
+        * 1000000 + 0.5) / 1000000.0 AS ari,
+  FLOOR((CASE WHEN pc.tt = 0 THEN 1.0
+         ELSE (pc.tt + 2.0 * pc.s - pc.p - pc.q) / pc.tt END)
+        * 1000000 + 0.5) / 1000000.0 AS rand,
+  FLOOR((CASE WHEN pc.p + pc.q - pc.s = 0 THEN 1.0
+         ELSE pc.s / (pc.p + pc.q - pc.s) END)
+        * 1000000 + 0.5) / 1000000.0 AS jaccard
+FROM mi, ha, hb, pc
+""",
+    )
+
+
 _CLOSENESS_SQL = (
     _SUPPLIER_RECURSIVE_PRELUDE
     + """,
@@ -1230,6 +1297,7 @@ def oracle_sql() -> dict[str, str]:
         "strongly_connected_components": _SCC_SQL,
         "diameter_bounds": _DIAMETER_SQL,
         "partition_quality": _partition_quality_sql(PLP_ITERS),
+        "partition_compare": _partition_compare_sql(2, PLP_ITERS),
         "closeness_sampled": _CLOSENESS_SQL,
         "eigenvector_centrality": _eigenvector_sql(10),
         "kcore_membership": _kcore_sql(3, 30),

@@ -186,6 +186,89 @@ def partition_quality(edges_ds, labels_ds, num_partitions: int = 8):
     )
 
 
+def compare_partitions(labels_a_ds, labels_b_ds, num_partitions: int = 8):
+    """Partition-comparison measures (reference community/NMIDistance,
+    AdjustedRandMeasure, JaccardMeasure, RandMeasure — reported here in
+    SIMILARITY form, 1 − the reference's distance form).
+
+    Distributed shape: one co-partitioned join of the two (vid, label)
+    tables, then a pre-combined ``groupby(label_a, label_b).count()``
+    contingency.  Only the contingency (k_a × k_b cells, result-sized —
+    never corpus-sized) reaches the driver; entropies / pair counts are
+    numpy reductions over it.  Vertices present in only one labeling are
+    ignored (inner join).
+
+    nmi  = 2·I(A;B) / (H(A) + H(B))           (1 when both entropies are 0)
+    ari  = (S − PQ/T) / ((P+Q)/2 − PQ/T)      (pair-counting adjusted Rand)
+    rand = (T + 2S − P − Q) / T
+    jaccard = S / (P + Q − S)                  (pair-based Jaccard; 1 if ∅)
+    with T=C(n,2), P=Σ_i C(a_i,2), Q=Σ_j C(b_j,2), S=Σ_ij C(n_ij,2).
+
+    -> 1-row Dataset(nmi, ari, rand, jaccard: float64).
+    """
+    import ray.data
+
+    a = labels_a_ds.select_columns(["vid", "label"])
+    b = labels_b_ds.select_columns(["vid", "label"]).map_batches(
+        lambda t: pa.table({"vid": t["vid"], "label_b": t["label"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = _proj(
+        a.join(b, join_type="inner", num_partitions=num_partitions, on=("vid",)),
+        {"la": "label", "lb": "label_b"},
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = t.group_by(["la", "lb"]).aggregate([([], "count_all")])
+        return g.rename_columns(["la", "lb", "cnt"])
+
+    cont = (
+        joined.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["la", "lb"])
+        .sum("cnt")
+        .to_pandas()
+    )
+    nij = cont["sum(cnt)"].to_numpy(dtype=np.float64)
+    n = nij.sum()
+    if n == 0:
+        one = pa.array([1.0])
+        return ray.data.from_arrow(
+            pa.table({"nmi": one, "ari": one, "rand": one, "jaccard": one})
+        )
+    ai = cont.groupby("la")["sum(cnt)"].sum().to_numpy(dtype=np.float64)
+    bj = cont.groupby("lb")["sum(cnt)"].sum().to_numpy(dtype=np.float64)
+
+    h_a = -np.sum(ai / n * np.log(ai / n))
+    h_b = -np.sum(bj / n * np.log(bj / n))
+    a_of = cont.groupby("la")["sum(cnt)"].sum().reindex(cont["la"]).to_numpy(
+        dtype=np.float64
+    )
+    b_of = cont.groupby("lb")["sum(cnt)"].sum().reindex(cont["lb"]).to_numpy(
+        dtype=np.float64
+    )
+    mi = np.sum(nij / n * np.log(n * nij / (a_of * b_of)))
+    nmi = 1.0 if (h_a + h_b) == 0.0 else 2.0 * mi / (h_a + h_b)
+
+    c2 = lambda x: np.sum(x * (x - 1.0) / 2.0)  # noqa: E731
+    T, Pp, Q, S = n * (n - 1.0) / 2.0, c2(ai), c2(bj), c2(nij)
+    exp = Pp * Q / T if T else 0.0
+    denom = (Pp + Q) / 2.0 - exp
+    ari = 1.0 if denom == 0.0 else (S - exp) / denom
+    rand = 1.0 if T == 0.0 else (T + 2.0 * S - Pp - Q) / T
+    jac = 1.0 if (Pp + Q - S) == 0.0 else S / (Pp + Q - S)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "nmi": pa.array([float(nmi)]),
+                "ari": pa.array([float(ari)]),
+                "rand": pa.array([float(rand)]),
+                "jaccard": pa.array([float(jac)]),
+            }
+        )
+    )
+
+
 # ---- PLM / Louvain --------------------------------------------------------
 
 

@@ -39,10 +39,14 @@ def label_propagation(
     fixed_iters: int | None = None,
     num_partitions: int = 8,
     engine: str = "dataset",
+    snapshot_at: int | None = None,
 ):
     """edges(src,dst,w) [+ vertices(vid)] -> (Dataset(vid, label), rounds).
 
     ``engine="actor"`` runs the rounds on the BSP CSR actor pool.
+    ``snapshot_at=k`` (actor engine only) additionally captures the
+    labeling after round k in the SAME run — one graph build serves both
+    labelings — and returns ``(labels, rounds, labels_at_k)``.
     """
     # dedupe=False: PLP tallies sum w per (vid, label) — partial-sum
     # duplicates total identically, and skipping the global dedup removes
@@ -57,9 +61,13 @@ def label_propagation(
             symmetrize(canon), vertices_ds.select_columns(["vid"]), num_partitions
         )
         try:
-            return g.plp(max_iter=max_iter, fixed_iters=fixed_iters)
+            return g.plp(
+                max_iter=max_iter, fixed_iters=fixed_iters, snapshot_at=snapshot_at
+            )
         finally:
             g.shutdown()
+    if snapshot_at is not None:
+        raise ValueError("snapshot_at requires engine='actor'")
     sym = symmetrize(canon).materialize()
 
     labels = (

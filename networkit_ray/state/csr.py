@@ -782,7 +782,13 @@ class BSPGraph:
 
     # ---- label-kernel loop (shared by CC hash-min and sync PLP) -----------
     def _label_loop(
-        self, msg_method: str, apply_method: str, max_iter, fixed_iters, stats
+        self,
+        msg_method: str,
+        apply_method: str,
+        max_iter,
+        fixed_iters,
+        stats,
+        snapshot_at: int | None = None,
     ):
         """Pipelined BSP label rounds (same scheme as pagerank's loop): the
         driver enqueues round r+1 before reading round r's changed-counters,
@@ -796,6 +802,7 @@ class BSPGraph:
         rounds = 0
         iters_target = fixed_iters if fixed_iters is not None else max_iter
         prev_refs = None
+        snapshot = None
         t_loop = time.perf_counter()
         while rounds < iters_target:
             rounds += 1
@@ -818,12 +825,20 @@ class BSPGraph:
                     ray.get(refs)  # the in-flight round is a no-op
                     break
             prev_refs = refs
+            if snapshot_at is not None and rounds == snapshot_at:
+                # one driver sync, then capture the intermediate labeling
+                # (costs the pipelining overlap for this round only)
+                ray.get(refs)
+                snapshot = self._collect("labels_table")
         else:
             if prev_refs is not None:
                 ray.get(prev_refs)
         if stats is not None:
             stats.setdefault("iter_wall_s", []).append(time.perf_counter() - t_loop)
-        return self._collect("labels_table"), rounds
+        final = self._collect("labels_table")
+        if snapshot_at is not None:
+            return final, rounds, snapshot
+        return final, rounds
 
     # ---- BFS (multi-source frontier) --------------------------------------
     def bfs(self, sources: np.ndarray, max_depth=None, stats=None, collect=True):
@@ -1006,9 +1021,9 @@ class BSPGraph:
         return self._label_loop("cc_messages", "cc_apply", max_iter, None, stats)
 
     # ---- synchronous PLP ---------------------------------------------------
-    def plp(self, max_iter=100, fixed_iters=None, stats=None):
+    def plp(self, max_iter=100, fixed_iters=None, stats=None, snapshot_at=None):
         return self._label_loop(
-            "plp_messages", "plp_apply", max_iter, fixed_iters, stats
+            "plp_messages", "plp_apply", max_iter, fixed_iters, stats, snapshot_at
         )
 
 

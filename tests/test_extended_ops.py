@@ -242,3 +242,124 @@ def test_louvain_quality_and_determinism(ray_session):
     a = lab.sort_values("vid").reset_index(drop=True)
     b = lab2.sort_values("vid").reset_index(drop=True)
     assert a.equals(b)  # deterministic across partitionings
+
+
+# ---- partition comparison (NMI / ARI / Rand / Jaccard) --------------------
+
+
+def ref_partition_measures(la: dict, lb: dict):
+    """Pure-python reference for the pair-counting + information measures
+    (reference community/NMIDistance, AdjustedRandMeasure, JaccardMeasure,
+    RandMeasure — similarity form)."""
+    import math
+    from collections import Counter
+
+    common = sorted(set(la) & set(lb))
+    n = len(common)
+    cont = Counter((la[v], lb[v]) for v in common)
+    ai = Counter(la[v] for v in common)
+    bj = Counter(lb[v] for v in common)
+    h_a = -sum(c / n * math.log(c / n) for c in ai.values())
+    h_b = -sum(c / n * math.log(c / n) for c in bj.values())
+    mi = sum(
+        c / n * math.log(n * c / (ai[x] * bj[y])) for (x, y), c in cont.items()
+    )
+    nmi = 1.0 if h_a + h_b == 0 else 2 * mi / (h_a + h_b)
+    c2 = lambda x: x * (x - 1) / 2  # noqa: E731
+    T = c2(n)
+    P = sum(c2(c) for c in ai.values())
+    Q = sum(c2(c) for c in bj.values())
+    S = sum(c2(c) for c in cont.values())
+    exp = P * Q / T if T else 0.0
+    den = (P + Q) / 2 - exp
+    ari = 1.0 if den == 0 else (S - exp) / den
+    rand = 1.0 if T == 0 else (T + 2 * S - P - Q) / T
+    jac = 1.0 if (P + Q - S) == 0 else S / (P + Q - S)
+    return nmi, ari, rand, jac
+
+
+def _labels_ds(d: dict):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array(list(d.keys()), type=pa.int64()),
+                "label": pa.array(list(d.values()), type=pa.int64()),
+            }
+        )
+    )
+
+
+@pytest.mark.parametrize(
+    "la,lb",
+    [
+        # identical partitions -> all measures 1
+        ({v: v % 3 for v in range(30)}, {v: (v % 3) + 7 for v in range(30)}),
+        # refinement: 6 blocks vs 3 blocks
+        ({v: v % 6 for v in range(60)}, {v: v % 3 for v in range(60)}),
+        # independent-ish partitions
+        ({v: v % 4 for v in range(40)}, {v: v // 10 for v in range(40)}),
+        # singletons vs one block
+        ({v: v for v in range(20)}, {v: 0 for v in range(20)}),
+    ],
+)
+def test_compare_partitions_vs_reference(ray_session, la, lb):
+    from networkit_ray.pipelines.community import compare_partitions
+
+    got = compare_partitions(_labels_ds(la), _labels_ds(lb), num_partitions=3)
+    row = got.to_pandas().iloc[0]
+    want = ref_partition_measures(la, lb)
+    for col, w in zip(("nmi", "ari", "rand", "jaccard"), want):
+        assert abs(row[col] - w) < 1e-9, (col, row[col], w)
+
+
+def test_compare_partitions_identical_is_one(ray_session):
+    from networkit_ray.pipelines.community import compare_partitions
+
+    la = {v: v % 5 for v in range(50)}
+    got = compare_partitions(_labels_ds(la), _labels_ds(la), num_partitions=2)
+    row = got.to_pandas().iloc[0]
+    assert all(abs(row[c] - 1.0) < 1e-12 for c in ("nmi", "ari", "rand", "jaccard"))
+
+
+def test_compare_partitions_plp_vs_louvain(ray_session):
+    """End-to-end: compare PLP and Louvain labelings of karate; measures in
+    [0,1] and match the pure-python reference on the same labelings."""
+    from networkit_ray.pipelines.community import compare_partitions, louvain
+    from networkit_ray.pipelines.labelprop import label_propagation
+
+    G = fixture_graph("karate")
+    ds = edges_dataset(G)
+    plp_ds, _ = label_propagation(ds, fixed_iters=5, num_partitions=2)
+    lou = louvain(ds, num_partitions=2, max_levels=2, move_rounds=3, colors=4)
+    plp = plp_ds.to_pandas()
+    lou_pd = lou.to_pandas()
+    la = dict(zip(plp["vid"].astype(int), plp["label"].astype(int)))
+    lb = dict(zip(lou_pd["vid"].astype(int), lou_pd["label"].astype(int)))
+    row = (
+        compare_partitions(ray.data.from_pandas(plp), lou, num_partitions=2)
+        .to_pandas()
+        .iloc[0]
+    )
+    want = ref_partition_measures(la, lb)
+    for col, w in zip(("nmi", "ari", "rand", "jaccard"), want):
+        assert abs(row[col] - w) < 1e-9, (col, row[col], w)
+        assert -1e-9 <= row[col] <= 1.0 + 1e-9
+
+
+def test_plp_snapshot_matches_separate_runs(ray_session):
+    """snapshot_at=k in one actor run == a separate fixed_iters=k run."""
+    from networkit_ray.pipelines.labelprop import label_propagation
+
+    G = fixture_graph("er200")
+    ds = edges_dataset(G)
+    final, _, snap = label_propagation(
+        ds, fixed_iters=5, num_partitions=2, engine="actor", snapshot_at=2
+    )
+    sep, _ = label_propagation(ds, fixed_iters=2, num_partitions=2, engine="actor")
+    a = snap.to_pandas().sort_values("vid").reset_index(drop=True)
+    b = sep.to_pandas().sort_values("vid").reset_index(drop=True)
+    assert a.equals(b)
+    fin5, _ = label_propagation(ds, fixed_iters=5, num_partitions=2, engine="actor")
+    c = final.to_pandas().sort_values("vid").reset_index(drop=True)
+    d = fin5.to_pandas().sort_values("vid").reset_index(drop=True)
+    assert c.equals(d)
