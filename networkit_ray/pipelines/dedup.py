@@ -36,11 +36,29 @@ MERSENNE = (1 << 61) - 1
 
 
 def _text_sha(batch: pa.Table, text_col="text") -> pa.Table:
-    sha = [
-        hashlib.sha256((s or "").encode()).hexdigest()
-        for s in batch[text_col].to_pylist()
-    ]
-    return batch.append_column("sha", pa.array(sha, type=pa.string()))
+    """sha256 per document, bit-identical to hashing the utf-8 text row by
+    row, but with the Python overhead stripped: the string column is cast
+    to binary (zero-copy — Arrow strings ARE utf-8, so no re-encode), the
+    loop touches only `bytes -> digest`, and the hex string column is built
+    by ONE binascii.hexlify + a from_buffers StringArray (no per-row
+    hexdigest() str objects)."""
+    import binascii
+
+    arr = batch[text_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.fill_null(arr, "").cast(pa.binary())
+    n = len(arr)
+    sha = hashlib.sha256
+    digests = bytearray()
+    for b in arr.to_pylist():
+        digests += sha(b).digest()
+    hexs = binascii.hexlify(bytes(digests))
+    offsets = np.arange(0, 64 * (n + 1), 64, dtype=np.int32)
+    sha_arr = pa.Array.from_buffers(
+        pa.utf8(), n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(hexs)]
+    )
+    return batch.append_column("sha", sha_arr)
 
 
 def exact_dedup(docs_ds, id_col="doc_id", text_col="text", num_partitions=8):
@@ -407,19 +425,41 @@ def minhash_dedup_groups(
 # ---- SimHash --------------------------------------------------------------
 
 
+def simhash_batch(texts) -> np.ndarray:
+    """Charikar simhash of a whole batch of documents, uint64 per doc —
+    ONE token-hash pass over the concatenated token stream and ONE
+    reduceat-segmented bit tally for the entire batch (the per-doc Python
+    loop is only the unavoidable str.split)."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    toks = [(t or "").split() for t in texts]
+    lens = np.fromiter((len(x) for x in toks), dtype=np.int64, count=n)
+    nz = np.flatnonzero(lens)
+    if len(nz) == 0:
+        return out
+    flat = [w for i in nz for w in toks[i]]
+    th = _token_hashes(flat)
+    shifts = np.arange(64, dtype=np.uint64)
+    starts = np.zeros(len(nz), dtype=np.int64)
+    nzlens = lens[nz]
+    np.cumsum(nzlens[:-1], out=starts[1:])
+    # per-bit streaming tally (64 cache-friendly passes over the token
+    # stream beats one (tokens x 64) matrix, which thrashes cache at
+    # realistic batch sizes); bit set <=> ones > len/2, ties -> 0, exactly
+    # the sign of the +-1 tally
+    counts = np.empty((len(nz), 64), dtype=np.int64)
+    for b in shifts:
+        counts[:, int(b)] = np.add.reduceat(
+            ((th >> b) & np.uint64(1)).astype(np.int64), starts
+        )
+    out[nz] = ((2 * counts > nzlens[:, None]).astype(np.uint64) << shifts[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    return out
+
+
 def simhash64(text: str) -> int:
-    """Charikar simhash over word features — fully vectorized: one hash
-    pass over tokens, one (n_tokens x 64) bit unpack, one column sum."""
-    th = _token_hashes((text or "").split())
-    if len(th) == 0:
-        return 0
-    bits = (th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-    out = np.uint64(0)
-    pos = np.flatnonzero(acc > 0)
-    for i in pos:
-        out |= np.uint64(1) << np.uint64(i)
-    return int(out)
+    return int(simhash_batch([text])[0])
 
 
 def simhash_signatures(docs_ds):
@@ -427,9 +467,9 @@ def simhash_signatures(docs_ds):
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].to_numpy(np.int64),
-                "simhash": np.array(
-                    [simhash64(t) for t in df["text"].fillna("")], dtype=np.uint64
-                ).view(np.int64),
+                "simhash": simhash_batch(df["text"].fillna("").tolist()).view(
+                    np.int64
+                ),
             }
         )
 
