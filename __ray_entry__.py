@@ -344,6 +344,59 @@ def q_partition_compare(sf_dir):
     return out
 
 
+def _forest_component_sizes(forest, sf_dir):
+    """Forest edges -> (label, n_edges) per component, label = min vid."""
+    from networkit_ray.pipelines.components import connected_components
+
+    labels, _ = connected_components(forest, num_partitions=P)
+    j = forest.join(
+        labels,
+        join_type="inner",
+        num_partitions=P,
+        on=("src",),
+        right_on=("vid",),
+    )
+    out = (
+        j.map_batches(
+            lambda t: pa.table({"label": t["label"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("label", num_partitions=P)
+        .count()
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {"label": t["label"], "n_edges": pc.cast(t["count()"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_spanning_forest(sf_dir):
+    """Minimum spanning forest (Boruvka) of the customer-supplier graph;
+    returns per-component (label=min vid, n_edges) — a spanning forest has
+    exactly size-1 edges per component, which the recursive-CC SQL oracle
+    value-checks."""
+    from networkit_ray.pipelines.spanning import spanning_forest
+
+    forest = spanning_forest(_edges(sf_dir), num_partitions=P).materialize()
+    return _forest_component_sizes(forest, sf_dir)
+
+
+def q_random_msf(sf_dir):
+    """RandomMaximumSpanningForest: maximum forest under deterministic
+    counter-hash edge weights; same (label, n_edges) invariant — the SQL
+    oracle proves the output IS a spanning forest of every component."""
+    from networkit_ray.pipelines.spanning import random_maximum_spanning_forest
+
+    forest = random_maximum_spanning_forest(
+        _edges(sf_dir), seed=7, num_partitions=P
+    ).materialize()
+    return _forest_component_sizes(forest, sf_dir)
+
+
 def q_sssp_weighted(sf_dir):
     """Weighted shortest paths (delta-stepping) on the customer-supplier
     graph from the minimum vid; parallel edges collapse to min weight.
@@ -586,6 +639,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diameter_bounds": q_diameter,
         "partition_quality": q_partition_quality,
         "partition_compare": q_partition_compare,
+        "spanning_forest": q_spanning_forest,
+        "random_msf": q_random_msf,
         "approx_betweenness": q_betweenness,
         "louvain_communities": q_louvain,
         "luby_mis": q_luby_mis,
@@ -1063,6 +1118,15 @@ SELECT FLOOR(COALESCE((SELECT w_in FROM wi), 0) / (SELECT W FROM ww)
     )
 
 
+_SPANNING_SQL = _CC_SQL.replace(
+    "SELECT vid, MIN(root) AS label FROM reach GROUP BY vid",
+    """, lab AS (SELECT vid, MIN(root) AS label FROM reach GROUP BY vid)
+SELECT label, CAST(COUNT(*) - 1 AS BIGINT) AS n_edges
+FROM lab GROUP BY label HAVING COUNT(*) > 1
+""",
+)
+
+
 def _partition_compare_sql(it_a: int, it_b: int) -> str:
     """NMI/ARI/Rand/Jaccard between PLP labelings at it_a vs it_b
     iterations; mirrors compare_partitions() (community.py)."""
@@ -1298,6 +1362,8 @@ def oracle_sql() -> dict[str, str]:
         "diameter_bounds": _DIAMETER_SQL,
         "partition_quality": _partition_quality_sql(PLP_ITERS),
         "partition_compare": _partition_compare_sql(2, PLP_ITERS),
+        "spanning_forest": _SPANNING_SQL,
+        "random_msf": _SPANNING_SQL,
         "closeness_sampled": _CLOSENESS_SQL,
         "eigenvector_centrality": _eigenvector_sql(10),
         "kcore_membership": _kcore_sql(3, 30),
