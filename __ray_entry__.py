@@ -397,6 +397,128 @@ def q_random_msf(sf_dir):
     return _forest_component_sizes(forest, sf_dir)
 
 
+def q_graph_matching(sf_dir):
+    """Locally-dominant 1/2-approx maximum weight matching of the
+    customer-supplier graph (reference matching/LocalMaxMatcher).  The
+    fixpoint is iterative-removal-defined — not SQL-expressible; validity/
+    maximality/approximation oracles live in tests/test_matching.py."""
+    from networkit_ray.pipelines.matching import local_max_matching
+
+    out = local_max_matching(_edges(sf_dir), num_partitions=P)
+    return _round6(out, "w")
+
+
+def q_maximal_cliques(sf_dir):
+    """Maximal cliques of the supplier co-purchase graph (ELS-shaped:
+    oriented-neighborhood Bron–Kerbosch + distributed maximality filter).
+    Clique enumeration is not SQL-expressible on general graphs ->
+    rows-only; networkx-exact oracles in tests/test_cliques.py."""
+    from networkit_ray.pipelines.cliques import maximal_cliques
+
+    return maximal_cliques(_supplier_edges(sf_dir), num_partitions=P)
+
+
+def q_cliques_bipartite(sf_dir):
+    """Degenerate-case value check: the customer-supplier graph is
+    bipartite (triangle-free), so its maximal cliques are EXACTLY its
+    edges — the full pipeline (orientation, BK, maximality filter) is
+    hash-checked against the edge list."""
+    from networkit_ray.pipelines.cliques import maximal_cliques
+
+    return maximal_cliques(_edges(sf_dir), num_partitions=P)
+
+
+def q_gen_ws_ring(sf_dir):
+    """Watts–Strogatz generator, p=0 path: the exact ring lattice is a
+    closed-form SQL-checkable contract of the counter-based generator
+    (the rewired path is hash-random; its invariants live in pytest)."""
+    from networkit_ray.sources.generators import watts_strogatz_edges
+
+    return watts_strogatz_edges(500, 6, 0.0, seed=2, parallelism=P)
+
+
+_WS_RING_SQL = """
+SELECT CAST(i // 3 AS BIGINT) AS src,
+       CAST((i // 3 + i % 3 + 1) % 500 AS BIGINT) AS dst,
+       1.0 AS w
+FROM generate_series(0, 1499) t(i)
+"""
+
+
+def q_bicc_edges(sf_dir):
+    """Biconnected components (Tarjan–Vishkin): every canonical edge of
+    the customer-supplier graph labeled by its BCC.  Not SQL-expressible
+    (spanning tree + Euler tour + auxiliary-graph CC); exact networkx
+    oracles live in tests/test_biconnectivity.py."""
+    from networkit_ray.pipelines.biconnectivity import biconnected_components
+
+    return biconnected_components(_edges(sf_dir), num_partitions=P)
+
+
+def q_articulation_check(sf_dir):
+    """For the 20 highest-degree vertices (ties -> smaller vid): is the
+    vertex an articulation point?  SQL oracle re-derives each answer by
+    recursive reachability that avoids the candidate."""
+    from networkit_ray.pipelines.biconnectivity import (
+        articulation_points,
+        biconnected_components,
+    )
+    from networkit_ray.stages.graphops import canonicalize_undirected, symmetrize
+
+    edges = _edges(sf_dir)
+    canon = canonicalize_undirected(edges, weight="one").materialize()
+    deg = (
+        symmetrize(canon)
+        .groupby("src", num_partitions=P)
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {"src": t["src"], "deg": pc.cast(t["count()"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    top = deg.sort(["deg", "src"], descending=[True, False]).limit(20).materialize()
+    bcc = biconnected_components(canon, num_partitions=P).materialize()
+    aps = (
+        articulation_points(bcc_edges=bcc, num_partitions=P)
+        .map_batches(
+            lambda t: pa.table(
+                {"avid": t["vid"], "isap": pa.array(np.ones(t.num_rows, np.int64))}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    if aps.count() == 0:  # empty join sides crash Ray 2.49 (compat.py)
+        return top.map_batches(
+            lambda t: pa.table(
+                {
+                    "vid": t["src"],
+                    "is_articulation": pa.array(np.zeros(t.num_rows, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    j = top.join(
+        aps, join_type="left_outer", num_partitions=P, on=("src",),
+        right_on=("avid",),
+    )
+    return j.map_batches(
+        lambda t: pa.table(
+            {
+                "vid": t["src"],
+                "is_articulation": pc.fill_null(t["isap"], 0),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def q_sssp_weighted(sf_dir):
     """Weighted shortest paths (delta-stepping) on the customer-supplier
     graph from the minimum vid; parallel edges collapse to min weight.
@@ -526,6 +648,114 @@ def q_luby_mis(sf_dir):
     return luby_mis(_supplier_edges(sf_dir), _suppliers(sf_dir), num_partitions=P)
 
 
+def q_louvain_quality(sf_dir):
+    """Value-checkable slice of the Louvain contract: returns PLP's
+    modularity (recomputed exactly by the SQL oracle) plus the flag
+    q_ge_plp = [modularity(louvain labels) >= modularity(PLP labels)].
+    The oracle pins the flag to 1, so the hash gate FAILS unless Louvain
+    actually reaches at least PLP quality on this graph."""
+    from networkit_ray.pipelines.community import louvain, modularity
+    from networkit_ray.pipelines.labelprop import label_propagation
+
+    edges = _edges(sf_dir)
+    lab_l = louvain(
+        edges, num_partitions=P, max_levels=2, move_rounds=2, colors=4
+    )
+    q_l = float(
+        modularity(edges, lab_l, num_partitions=P).to_pandas()["modularity"][0]
+    )
+    lab_p, _ = label_propagation(
+        edges, fixed_iters=PLP_ITERS, num_partitions=P, engine="actor"
+    )
+    q_p = float(
+        modularity(edges, lab_p, num_partitions=P).to_pandas()["modularity"][0]
+    )
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "q_plp": pa.array([np.floor(q_p * 1e6 + 0.5) / 1e6]),
+                "q_ge_plp": pa.array(
+                    [np.int64(1 if q_l >= q_p - 1e-9 else 0)]
+                ),
+            }
+        )
+    )
+
+
+def q_luby_check(sf_dir):
+    """Value-checkable slice of the Luby MIS contract: counts of
+    independence violations (edges inside the set) and uncovered vertices
+    (outside the set with no neighbor inside).  The SQL oracle pins both
+    to 0 — the hash gate FAILS unless the returned set is a true maximal
+    independent set."""
+    from networkit_ray.pipelines.independent import luby_mis
+    from networkit_ray.stages.graphops import canonicalize_undirected, symmetrize
+
+    edges = _supplier_edges(sf_dir)
+    mis = luby_mis(edges, _suppliers(sf_dir), num_partitions=P).materialize()
+    inset_s = mis.map_batches(
+        lambda t: pa.table(
+            {"msv": t["vid"], "ins_s": pa.array(np.ones(t.num_rows, np.int8))}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    inset_d = mis.map_batches(
+        lambda t: pa.table(
+            {"mdv": t["vid"], "ins_d": pa.array(np.ones(t.num_rows, np.int8))}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    sym = symmetrize(canonicalize_undirected(edges, weight="one")).materialize()
+    j = sym.join(
+        inset_s, join_type="inner", num_partitions=P, on=("src",),
+        right_on=("msv",),
+    ).map_batches(
+        lambda t: pa.table({"src": t["src"], "dst": t["dst"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    viol = (
+        j.join(inset_d, join_type="inner", num_partitions=P, on=("dst",),
+               right_on=("mdv",)).count()
+        if j.count() > 0
+        else 0
+    )
+    covered = (
+        sym.join(
+            inset_d, join_type="inner", num_partitions=P, on=("dst",),
+            right_on=("mdv",),
+        )
+        .map_batches(
+            lambda t: pa.table({"cv": t["src"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .union(mis.map_batches(
+            lambda t: pa.table({"cv": t["vid"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ))
+        .groupby("cv", num_partitions=P)
+        .count()
+    )
+    n_cov = covered.count()
+    n_all = _suppliers(sf_dir).count()
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "indep_violations": pa.array([np.int64(viol)]),
+                "uncovered": pa.array([np.int64(n_all - n_cov)]),
+            }
+        )
+    )
+
+
 def q_random_walks(sf_dir):
     """Uniform random-walk corpus (deepwalk phase) on the supplier co-part
     graph — deterministic min-hash neighbor draws; not SQL-expressible ->
@@ -641,6 +871,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partition_compare": q_partition_compare,
         "spanning_forest": q_spanning_forest,
         "random_msf": q_random_msf,
+        "bicc_edges": q_bicc_edges,
+        "articulation_check": q_articulation_check,
+        "gen_ws_ring": q_gen_ws_ring,
+        "graph_matching": q_graph_matching,
+        "louvain_quality": q_louvain_quality,
+        "luby_check": q_luby_check,
+        "maximal_cliques": q_maximal_cliques,
+        "cliques_bipartite": q_cliques_bipartite,
         "approx_betweenness": q_betweenness,
         "louvain_communities": q_louvain,
         "luby_mis": q_luby_mis,
@@ -1118,6 +1356,47 @@ SELECT FLOOR(COALESCE((SELECT w_in FROM wi), 0) / (SELECT W FROM ww)
     )
 
 
+_CLIQUES_BIPARTITE_SQL = f"""
+WITH edges AS ({_EDGES_SQL})
+SELECT CAST(src AS VARCHAR) || ',' || CAST(dst AS VARCHAR) AS clique,
+       CAST(2 AS BIGINT) AS size
+FROM edges
+"""
+
+_ARTICULATION_SQL = (
+    _GRAPH_PRELUDE
+    + """,
+ue AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+deg AS (SELECT src AS vid, COUNT(*) AS d FROM ue GROUP BY 1),
+cand AS (SELECT vid FROM deg ORDER BY d DESC, vid ASC LIMIT 20),
+reach AS (
+  SELECT vid, vid AS root FROM verts
+  UNION
+  SELECT ue.dst AS vid, r.root FROM reach r JOIN ue ON ue.src = r.vid
+),
+lab AS (SELECT vid, MIN(root) AS label FROM reach GROUP BY vid),
+csize AS (SELECT label, COUNT(*) AS n FROM lab GROUP BY label),
+seed AS (
+  SELECT c.vid AS cand, MIN(u.dst) AS v
+  FROM cand c JOIN ue u ON u.src = c.vid AND u.dst <> c.vid GROUP BY 1
+),
+avoid AS (
+  SELECT cand, v FROM seed
+  UNION
+  SELECT a.cand, u.dst FROM avoid a JOIN ue u ON u.src = a.v
+  WHERE u.dst <> a.cand
+),
+cnt AS (SELECT cand, COUNT(*) AS n FROM avoid GROUP BY cand)
+SELECT c.vid,
+       CAST(CASE WHEN cnt.n < cs.n - 1 THEN 1 ELSE 0 END AS BIGINT)
+           AS is_articulation
+FROM cand c
+JOIN lab ON lab.vid = c.vid
+JOIN csize cs ON cs.label = lab.label
+JOIN cnt ON cnt.cand = c.vid
+"""
+)
+
 _SPANNING_SQL = _CC_SQL.replace(
     "SELECT vid, MIN(root) AS label FROM reach GROUP BY vid",
     """, lab AS (SELECT vid, MIN(root) AS label FROM reach GROUP BY vid)
@@ -1364,6 +1643,22 @@ def oracle_sql() -> dict[str, str]:
         "partition_compare": _partition_compare_sql(2, PLP_ITERS),
         "spanning_forest": _SPANNING_SQL,
         "random_msf": _SPANNING_SQL,
+        "articulation_check": _ARTICULATION_SQL,
+        "gen_ws_ring": _WS_RING_SQL,
+        # louvain_quality: q_plp is recomputed exactly; the oracle pins
+        # q_ge_plp=1, so the hash gate fails unless Louvain's labeling
+        # reaches PLP quality (labels themselves are algorithm-defined)
+        "louvain_quality": (
+            f"SELECT modularity AS q_plp, CAST(1 AS BIGINT) AS q_ge_plp "
+            f"FROM ({_modularity_sql(PLP_ITERS)})"
+        ),
+        # luby_check: the oracle pins both violation counts to zero — the
+        # gate fails unless the returned set is a true MIS
+        "luby_check": (
+            "SELECT CAST(0 AS BIGINT) AS indep_violations,"
+            " CAST(0 AS BIGINT) AS uncovered"
+        ),
+        "cliques_bipartite": _CLIQUES_BIPARTITE_SQL,
         "closeness_sampled": _CLOSENESS_SQL,
         "eigenvector_centrality": _eigenvector_sql(10),
         "kcore_membership": _kcore_sql(3, 30),

@@ -265,6 +265,25 @@ def candidate_pairs(band_rows_ds, num_partitions=8):
     )
 
 
+def doc_shingles(docs_ds, k=3):
+    """documents -> (sid, toks): each doc's masked word-k-gram shingle-hash
+    set as raw int64 bytes (bit-identical to the sets Bander carries, so
+    both verify variants accept/reject exactly the same pairs)."""
+
+    def f(df: pd.DataFrame) -> pa.Table:
+        ids = df["doc_id"].to_numpy(np.int64)
+        blobs = [
+            np.unique((_shingles(t, 3 if k is None else k) & np.uint64(0xFFFFFFFF))
+                      .astype(np.uint64)).view(np.int64).tobytes()
+            for t in df["text"].fillna("")
+        ]
+        return pa.table(
+            {"sid": ids, "toks": pa.array(blobs, type=pa.large_binary())}
+        )
+
+    return docs_ds.map_batches(f, batch_format="pandas")
+
+
 def _jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
     inter = len(np.intersect1d(sa, sb, assume_unique=True))
     union = len(sa) + len(sb) - inter
@@ -280,6 +299,7 @@ def minhash_dedup_groups(
     num_partitions=8,
     seed=42,
     driver_pair_limit=2_000_000,
+    verify="auto",
 ):
     """Full MinHash-LSH near-dup pipeline -> Dataset(doc_id, dup_group).
 
@@ -293,15 +313,41 @@ def minhash_dedup_groups(
     and raw text never re-shuffles.  Verified pairs are output-bound-small:
     they stream to a driver union-find, and the resulting root map is
     broadcast (ray.put) into a final stateless map — no corpus-wide join.
-    Shuffle volume = bands x shingle-bytes; for extremely shingle-heavy
-    docs a co-partitioned two-join verify against a (doc_id -> toks) table
-    ships less per doc and would be the preferred variant.
+    Two verify variants, both checking the SAME masked shingle sets:
+
+    - ``verify="carry"`` (one wide exchange): band rows duplicate each
+      doc's shingle set onto its ``bands`` rows; the bucket self-join
+      delivers both sides to the verifier inline.  Shuffle volume =
+      bands x shingle-bytes per doc.
+    - ``verify="join"`` (three narrower exchanges): band rows stay skinny;
+      candidate pairs are globally deduped first, then verified via TWO
+      co-partitioned joins against a once-materialized (doc_id -> toks)
+      table.  Shuffle volume ~ 2 x shingle-bytes per doc plus the pair
+      set — the winner for shingle-heavy docs.
+    - ``verify="auto"`` samples 256 docs and picks ``join`` when the
+      average shingle payload exceeds ~0.5 KB (i.e. when the bands-fold
+      duplication outweighs two extra exchanges).
     """
     import ray
     import ray.data
 
+    if verify == "auto":
+        sample = docs_ds.limit(256).to_pandas()
+        if len(sample):
+            avg_bytes = float(
+                np.mean(
+                    [
+                        8 * len(np.unique(_shingles(t, k) & np.uint64(0xFFFFFFFF)))
+                        for t in sample["text"].fillna("")
+                    ]
+                )
+            )
+        else:
+            avg_bytes = 0.0
+        verify = "join" if avg_bytes >= 512.0 else "carry"
+
     band_rows = minhash_band_rows(
-        docs_ds, num_perm, bands, k, seed, carry_shingles=True
+        docs_ds, num_perm, bands, k, seed, carry_shingles=(verify == "carry")
     ).materialize()
 
     if band_rows.count() == 0:
@@ -310,6 +356,58 @@ def minhash_dedup_groups(
             lambda t: pa.table({"doc_id": t["doc_id"], "dup_group": t["doc_id"]}),
             batch_format="pyarrow",
             zero_copy_batch=True,
+        )
+
+    if verify == "join":
+        cands = candidate_pairs(band_rows, num_partitions).materialize()
+        if cands.count() == 0:
+            return docs_ds.select_columns(["doc_id"]).map_batches(
+                lambda t: pa.table(
+                    {"doc_id": t["doc_id"], "dup_group": t["doc_id"]}
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        shing = doc_shingles(docs_ds, k).materialize()
+        j = cands.join(
+            shing, join_type="inner", num_partitions=num_partitions,
+            on=("a",), right_on=("sid",),
+        )
+        j = j.map_batches(
+            lambda t: pa.table({"a": t["a"], "b": t["b"], "toks_a": t["toks"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).join(
+            shing, join_type="inner", num_partitions=num_partitions,
+            on=("b",), right_on=("sid",),
+        )
+
+        def jverify(t: pa.Table) -> pa.Table:
+            a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+            b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+            ta = t["toks_a"].combine_chunks()
+            tb = t["toks"].combine_chunks()
+            ka, kb = [], []
+            for i in range(len(a)):
+                sa = np.frombuffer(ta[i].as_py(), dtype=np.int64)
+                sb = np.frombuffer(tb[i].as_py(), dtype=np.int64)
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                union = len(sa) + len(sb) - inter
+                if (inter / union if union else 1.0) >= threshold:
+                    ka.append(int(a[i]))
+                    kb.append(int(b[i]))
+            return pa.table(
+                {
+                    "a": np.array(ka, dtype=np.int64),
+                    "b": np.array(kb, dtype=np.int64),
+                }
+            )
+
+        verified = j.map_batches(
+            jverify, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        return _dup_groups_from_verified(
+            docs_ds, verified, num_partitions, driver_pair_limit
         )
 
     joined = band_rows.join(
@@ -358,12 +456,21 @@ def minhash_dedup_groups(
     verified = joined.map_batches(
         verify, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+    return _dup_groups_from_verified(
+        docs_ds, verified, num_partitions, driver_pair_limit
+    )
 
-    # duplicate components: on a high-duplication web corpus verified pairs
-    # are O(n_docs), so the component solve must stay distributed.
-    # resolve_equivalence_pairs routes small sets to one vectorized driver
-    # pass (broadcast root map below) and large sets through the
-    # large-star/small-star contraction — never a per-pair driver loop.
+
+def _dup_groups_from_verified(docs_ds, verified, num_partitions, driver_pair_limit):
+    """Verified duplicate pairs -> (doc_id, dup_group) for every doc.
+
+    On a high-duplication web corpus verified pairs are O(n_docs), so the
+    component solve must stay distributed.  resolve_equivalence_pairs
+    routes small sets to one vectorized driver pass (broadcast root map
+    below) and large sets through the large-star/small-star contraction —
+    never a per-pair driver loop."""
+    import ray
+
     from networkit_ray.pipelines.equivalence import resolve_equivalence_pairs
 
     n_verified = verified.count()

@@ -88,3 +88,240 @@ def rmat_edges(
     return ray.data.range(n_edges, override_num_blocks=parallelism).map_batches(
         mk, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def barabasi_albert_edges(n: int, k: int, seed: int = 42, parallelism: int = 8,
+                          max_rounds: int = 64):
+    """Barabasi–Albert preferential attachment via the Batagelj–Brandes
+    linear method (reference generators/BarabasiAlbertGenerator; Batagelj &
+    Brandes, "Efficient generation of large random networks", PRE 2005),
+    resolved DISTRIBUTEDLY: the B-B array M has M[2i] = i//k and
+    M[2i+1] = M[r_i] with r_i ~ U[0, 2i+1); the value of an odd position
+    is a pointer chase to a uniformly earlier position, so expected chain
+    length is O(log nk) and every chain resolves by iterated hash joins —
+    one join per hop round, all edges in parallel, no sequential state.
+    Self-loops / parallel edges possible per the model; canonicalize to
+    taste.  -> Dataset(src, dst, w), bit-identical across partitionings."""
+    import ray.data
+
+    import pyarrow.compute as pc
+
+    def mk(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        r = np.floor(_uniform(ids, 0, seed) * (2 * ids + 1)).astype(np.int64)
+        return pa.table({"i": ids, "src": ids // k, "cur": r})
+
+    cur = ray.data.range(n * k, override_num_blocks=parallelism).map_batches(
+        mk, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    refs = _t = cur.map_batches(
+        lambda t: pa.table({"j": t["i"], "rj": t["cur"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    for _ in range(max_rounds):
+        odd = cur.map_batches(
+            lambda t: pa.table(
+                {"o": pc.cast(
+                    pc.equal(pc.bit_wise_and(t["cur"], pa.scalar(1)), pa.scalar(1)),
+                    pa.int64())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).sum("o")
+        if not odd:
+            break
+
+        def key(t: pa.Table) -> pa.Table:
+            c = t["cur"].combine_chunks().to_numpy(zero_copy_only=False)
+            is_odd = (c & 1) == 1
+            # odd position 2j+1 -> chase row j; even stays put (join miss)
+            kk = np.where(is_odd, (c - 1) // 2, np.int64(-1))
+            return pa.table({"i": t["i"], "src": t["src"], "cur": t["cur"],
+                             "kk": kk})
+
+        j = cur.map_batches(key, batch_format="pyarrow", zero_copy_batch=True).join(
+            refs, join_type="left_outer", num_partitions=parallelism,
+            on=("kk",), right_on=("j",),
+        )
+        cur = j.map_batches(
+            lambda t: pa.table(
+                {
+                    "i": t["i"],
+                    "src": t["src"],
+                    "cur": pc.if_else(
+                        pc.is_valid(t["rj"]), pc.fill_null(t["rj"], 0), t["cur"]
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+    return cur.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["src"],
+                "dst": pc.divide(pc.divide(t["cur"], pa.scalar(2)), pa.scalar(k)),
+                "w": pa.array(np.ones(t.num_rows, np.float64)),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def watts_strogatz_edges(n: int, k: int, p: float, seed: int = 42,
+                         parallelism: int = 8):
+    """Watts–Strogatz small world (reference generators/
+    WattsStrogatzGenerator): ring lattice of n vertices each joined to its
+    k/2 clockwise neighbors; every edge independently rewires its far
+    endpoint with probability p to a uniform non-self vertex.  Counter-based
+    per edge id -> embarrassingly parallel, deterministic.
+    -> Dataset(src, dst, w)."""
+    import ray.data
+
+    half = k // 2
+    assert half >= 1
+
+    def mk(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = ids // half
+        j = ids % half + 1
+        dst = (v + j) % n
+        rew = _uniform(ids, 0, seed) < p
+        alt = (v + 1 + np.floor(_uniform(ids, 1, seed) * (n - 1)).astype(np.int64)) % n
+        dst = np.where(rew, alt, dst)
+        return pa.table(
+            {"src": v, "dst": dst, "w": np.ones(len(ids), dtype=np.float64)}
+        )
+
+    return ray.data.range(n * half, override_num_blocks=parallelism).map_batches(
+        mk, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _powerlaw_pick(u: np.ndarray, n: int, theta: float) -> np.ndarray:
+    """Inverse-CDF pick of i in [0, n) with P(i) ~ (i+1)^-theta."""
+    if abs(theta - 1.0) < 1e-9:
+        top = np.log(n + 1.0)
+        return np.minimum((np.exp(u * top) - 1.0).astype(np.int64), n - 1)
+    e = 1.0 - theta
+    top = (n + 1.0) ** e - 1.0
+    x = (u * top + 1.0) ** (1.0 / e) - 1.0
+    return np.minimum(x.astype(np.int64), n - 1)
+
+
+def chung_lu_edges(n: int, m: int, gamma: float = 2.5, seed: int = 42,
+                   parallelism: int = 8):
+    """Chung–Lu expected-degree power-law graph (reference generators/
+    ChungLuGenerator): m edges, each endpoint drawn independently with
+    P(vertex i) ~ (i+1)^-theta, theta = 1/(gamma-1), giving expected degree
+    ~ rank^-theta and a degree tail P(deg > d) ~ d^-(gamma-1).  Closed-form
+    inverse-CDF sampling per edge id — no alias tables, no broadcast state.
+    -> Dataset(src, dst, w)."""
+    import ray.data
+
+    theta = 1.0 / (gamma - 1.0)
+
+    def mk(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        src = _powerlaw_pick(_uniform(ids, 0, seed), n, theta)
+        dst = _powerlaw_pick(_uniform(ids, 1, seed), n, theta)
+        return pa.table(
+            {"src": src, "dst": dst, "w": np.ones(len(ids), dtype=np.float64)}
+        )
+
+    return ray.data.range(m, override_num_blocks=parallelism).map_batches(
+        mk, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def lfr_like_edges(n: int, m: int, n_comms: int, gamma: float = 2.5,
+                   beta: float = 1.5, mu: float = 0.2, seed: int = 42,
+                   parallelism: int = 8):
+    """LFR-flavored community benchmark (reference generators/LFRGenerator,
+    soft variant): power-law community sizes (~ (j+1)^-beta, communities are
+    contiguous vid ranges with closed-form boundaries), power-law degree
+    ranks WITHIN each community (theta = 1/(gamma-1)), and mixing mu: each
+    edge is intra-community with probability 1-mu (both endpoints local
+    power-law picks in a size-proportionally chosen community) and global
+    otherwise.  This reproduces LFR's three knobs (degree exponent,
+    community-size exponent, mixing fraction) with counter-based
+    determinism; it does NOT enforce LFR's exact per-vertex degree/mixing
+    constraint rounds — documented deviation, the reference's rewiring
+    phase is inherently sequential.  -> Dataset(src, dst, w) plus ground
+    truth via ``lfr_like_communities``."""
+    import ray.data
+
+    theta = 1.0 / (gamma - 1.0)
+    bounds = _lfr_bounds(n, n_comms, beta)
+    sizes = np.diff(bounds)
+    csum = np.cumsum(sizes).astype(np.float64)
+    csum /= csum[-1]
+
+    def mk(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        intra = _uniform(ids, 0, seed) < (1.0 - mu)
+        # intra: community chosen proportional to its size
+        cj = np.searchsorted(csum, _uniform(ids, 1, seed), side="right")
+        cj = np.minimum(cj, len(sizes) - 1)
+        lo, sz = bounds[cj], sizes[cj]
+        s_loc = lo + _pick_local(_uniform(ids, 2, seed), sz, theta)
+        d_loc = lo + _pick_local(_uniform(ids, 3, seed), sz, theta)
+        # inter: global power-law picks
+        s_glo = _powerlaw_pick(_uniform(ids, 4, seed), n, theta)
+        d_glo = _powerlaw_pick(_uniform(ids, 5, seed), n, theta)
+        src = np.where(intra, s_loc, s_glo)
+        dst = np.where(intra, d_loc, d_glo)
+        return pa.table(
+            {"src": src, "dst": dst, "w": np.ones(len(ids), dtype=np.float64)}
+        )
+
+    return ray.data.range(m, override_num_blocks=parallelism).map_batches(
+        mk, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _lfr_bounds(n: int, n_comms: int, beta: float) -> np.ndarray:
+    """Community boundary vids: sizes ~ (j+1)^-beta, every community >= 1
+    vertex, boundaries exact (sum == n).  n_comms scalars — driver-cheap."""
+    raw = (np.arange(1, n_comms + 1, dtype=np.float64)) ** (-beta)
+    sizes = np.maximum(1, np.floor(raw / raw.sum() * n).astype(np.int64))
+    # distribute the rounding remainder over the largest communities
+    rem = n - sizes.sum()
+    order = np.argsort(-raw)
+    i = 0
+    while rem != 0:
+        j = order[i % n_comms]
+        step = 1 if rem > 0 else -1
+        if sizes[j] + step >= 1:
+            sizes[j] += step
+            rem -= step
+        i += 1
+    return np.concatenate([[0], np.cumsum(sizes)])
+
+
+def _pick_local(u: np.ndarray, sz: np.ndarray, theta: float) -> np.ndarray:
+    """Vectorized power-law pick with PER-ROW domain size sz."""
+    e = 1.0 - theta
+    top = (sz + 1.0) ** e - 1.0
+    x = (u * top + 1.0) ** (1.0 / e) - 1.0
+    return np.minimum(x.astype(np.int64), sz - 1)
+
+
+def lfr_like_communities(n: int, n_comms: int, beta: float = 1.5,
+                         parallelism: int = 8):
+    """Ground-truth (vid, label) for lfr_like_edges: label = community min
+    vid (communities are contiguous ranges)."""
+    import ray.data
+
+    bounds = _lfr_bounds(n, n_comms, beta)
+
+    def mk(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        j = np.searchsorted(bounds, ids, side="right") - 1
+        return pa.table({"vid": ids, "label": bounds[j]})
+
+    return ray.data.range(n, override_num_blocks=parallelism).map_batches(
+        mk, batch_format="pyarrow", zero_copy_batch=True
+    )

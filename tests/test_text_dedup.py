@@ -250,3 +250,35 @@ def test_simhash_hot_bucket_cap_logged(ray_session):
     # candidates from hot buckets are dropped and logged
     assert (out["hamming"] == 0).all()
     assert sl.get("hot_buckets", 0) >= 1
+
+
+def test_minhash_verify_variants_identical(ray_session):
+    """carry- and join-verify variants check the same masked shingle sets,
+    so the dup-group output must be identical (ask: same groups, pick by
+    payload size)."""
+    a = (
+        dd.minhash_dedup_groups(
+            docs_ds(), threshold=0.5, num_partitions=2, verify="carry"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        dd.minhash_dedup_groups(
+            docs_ds(), threshold=0.5, num_partitions=3, verify="join"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    c = (
+        dd.minhash_dedup_groups(
+            docs_ds(), threshold=0.5, num_partitions=2, verify="auto"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(c)
