@@ -408,6 +408,39 @@ def q_graph_matching(sf_dir):
     return _round6(out, "w")
 
 
+def q_edge_switch_degrees(sf_dir):
+    """Degree-preservation contract of the edge-switching null model: the
+    randomized graph's per-vertex degrees must hash-equal the ORIGINAL
+    graph's degrees, which the SQL oracle computes directly (the rewired
+    edge set itself is hash-random -> invariant-checked, not row-checked;
+    simplicity/mixing oracles in tests/test_randomization.py)."""
+    from networkit_ray.pipelines.randomization import edge_switching
+    from networkit_ray.stages.graphops import symmetrize
+
+    rnd = edge_switching(
+        _edges(sf_dir), rounds=2, seed=11, num_partitions=P
+    ).materialize()
+    return (
+        symmetrize(rnd)
+        .groupby("src", num_partitions=P)
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {"vid": t["src"], "deg": pc.cast(t["count()"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
+_EDGE_SWITCH_DEG_SQL = """
+WITH edges AS ({edges}),
+ue AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)
+SELECT src AS vid, COUNT(*) AS deg FROM ue GROUP BY 1
+"""
+
+
 def q_maximal_cliques(sf_dir):
     """Maximal cliques of the supplier co-purchase graph (ELS-shaped:
     oriented-neighborhood Bron–Kerbosch + distributed maximality filter).
@@ -879,6 +912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "luby_check": q_luby_check,
         "maximal_cliques": q_maximal_cliques,
         "cliques_bipartite": q_cliques_bipartite,
+        "edge_switch_degrees": q_edge_switch_degrees,
         "approx_betweenness": q_betweenness,
         "louvain_communities": q_louvain,
         "luby_mis": q_luby_mis,
@@ -1659,6 +1693,7 @@ def oracle_sql() -> dict[str, str]:
             " CAST(0 AS BIGINT) AS uncovered"
         ),
         "cliques_bipartite": _CLIQUES_BIPARTITE_SQL,
+        "edge_switch_degrees": _EDGE_SWITCH_DEG_SQL.format(edges=_EDGES_SQL),
         "closeness_sampled": _CLOSENESS_SQL,
         "eigenvector_centrality": _eigenvector_sql(10),
         "kcore_membership": _kcore_sql(3, 30),
