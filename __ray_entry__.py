@@ -615,6 +615,123 @@ def q_edge_triangle_scores(sf_dir):
     )
 
 
+def q_laplacian_centrality(sf_dir):
+    from networkit_ray.pipelines.centrality import laplacian_centrality
+
+    return laplacian_centrality(
+        _supplier_edges(sf_dir), _suppliers(sf_dir), num_partitions=P
+    )
+
+
+def q_sfigality(sf_dir):
+    from networkit_ray.pipelines.centrality import sfigality
+
+    return _round6(
+        sfigality(_supplier_edges(sf_dir), _suppliers(sf_dir), num_partitions=P),
+        "sfigality",
+    )
+
+
+def q_scan_scores(sf_dir):
+    from networkit_ray.pipelines.structure import scan_similarity_scores
+
+    return _round6(
+        scan_similarity_scores(_supplier_edges(sf_dir), num_partitions=P), "score"
+    )
+
+
+def q_local_degree_scores(sf_dir):
+    from networkit_ray.pipelines.structure import local_degree_scores
+
+    return _round6(
+        local_degree_scores(_supplier_edges(sf_dir), num_partitions=P), "score"
+    )
+
+
+def _order_chain_edges(sf_dir):
+    """Per-customer consecutive-order chains (ordered by o_orderdate then
+    o_orderkey) as a DAG over o_orderkey vertices: the next pointer is the
+    MIN composite key greater than mine among my customer's orders —
+    a custkey self-join + one pre-combined min groupby, no per-group loop.
+    Composite key = epoch_days * 10^7 + o_orderkey (asserted to fit)."""
+    from ray.data.aggregate import Min
+
+    from networkit_ray.sources.tables import read_table
+
+    MUL = 10_000_000
+
+    def keyed(t: pa.Table) -> pa.Table:
+        # o_orderdate is timestamp[us] in the testdata; date32 also works
+        micros = pc.cast(
+            pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64()
+        ).combine_chunks().to_numpy(zero_copy_only=False)
+        days = micros // 86_400_000_000
+        okey = t["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        if okey.size and okey.max() >= MUL:
+            raise ValueError("o_orderkey exceeds composite-key packing bound")
+        return pa.table(
+            {"cust": t["o_custkey"], "k": pa.array(days * MUL + okey)}
+        )
+
+    orders = (
+        read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    pairs = orders.join(
+        orders,
+        join_type="inner",
+        num_partitions=P,
+        on=("cust",),
+        left_suffix="_a",
+        right_suffix="_b",
+    )
+
+    def later(t: pa.Table) -> pa.Table:
+        out = t.filter(pc.greater(t["k_b"], t["k_a"])).select(["k_a", "k_b"])
+        # local pre-combine before the min shuffle
+        return (
+            out.group_by("k_a").aggregate([("k_b", "min")])
+            .rename_columns(["k_a", "k_b"])
+        )
+
+    nxt = (
+        pairs.map_batches(later, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k_a", num_partitions=P)
+        .aggregate(Min("k_b", alias_name="k_b"))
+    )
+    def unpack(t: pa.Table) -> pa.Table:
+        ka = t["k_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        kb = t["k_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": ka % MUL,
+                "dst": kb % MUL,
+                "w": np.ones(len(ka), dtype=np.float64),
+            }
+        )
+
+    return nxt.map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_topological_levels(sf_dir):
+    """Topological levels of the per-customer consecutive-order DAG —
+    level(o) = position of the order in its customer's date-ordered chain
+    (the SQL oracle is the equivalent window ROW_NUMBER)."""
+    from networkit_ray.pipelines.traversal import topological_levels
+    from networkit_ray.sources.tables import read_table
+
+    verts = read_table(sf_dir, "orders", columns=["o_orderkey"]).map_batches(
+        lambda t: pa.table({"vid": pc.cast(t["o_orderkey"], pa.int64())}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    levels, _ = topological_levels(
+        _order_chain_edges(sf_dir), vertices_ds=verts, num_partitions=P
+    )
+    return levels
+
+
 def q_diameter(sf_dir):
     """Two-sweep diameter lower bound on the undirected customer-supplier
     graph (deterministic sweep: min vid, then farthest-tie-min)."""
@@ -898,6 +1015,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_membership": q_kcore,
         "degree_assortativity": q_assortativity,
         "edge_triangle_scores": q_edge_triangle_scores,
+        "laplacian_centrality": q_laplacian_centrality,
+        "sfigality": q_sfigality,
+        "scan_scores": q_scan_scores,
+        "local_degree_scores": q_local_degree_scores,
+        "topological_levels": q_topological_levels,
         "strongly_connected_components": q_scc,
         "diameter_bounds": q_diameter,
         "partition_quality": q_partition_quality,
@@ -1601,6 +1723,80 @@ JOIN sdeg dv ON dv.v = e.dst
 """
 )
 
+_LAPLACIAN_SQL = (
+    _SUPPLIER_PRELUDE
+    + """,
+nd AS (SELECT s.v, SUM(dn.d) AS sn FROM sym s JOIN sdeg dn ON dn.v = s.n GROUP BY 1)
+SELECT v.vid,
+       CAST(COALESCE(d.d, 0) * COALESCE(d.d, 0) + COALESCE(d.d, 0)
+            + 2 * COALESCE(nd.sn, 0) AS BIGINT) AS lc
+FROM sverts v
+LEFT JOIN sdeg d ON v.vid = d.v
+LEFT JOIN nd ON nd.v = v.vid
+"""
+)
+
+_SFIGALITY_SQL = (
+    _SUPPLIER_PRELUDE
+    + """,
+hi AS (
+  SELECT s.v, COUNT(*) AS h
+  FROM sym s JOIN sdeg da ON da.v = s.v JOIN sdeg db ON db.v = s.n
+  WHERE db.d > da.d GROUP BY 1
+)
+SELECT v.vid,
+       FLOOR(CASE WHEN COALESCE(d.d, 0) > 0
+                  THEN CAST(COALESCE(hi.h, 0) AS DOUBLE) / d.d
+                  ELSE 0.0 END * 1000000 + 0.5) / 1000000.0 AS sfigality
+FROM sverts v
+LEFT JOIN sdeg d ON v.vid = d.v
+LEFT JOIN hi ON hi.v = v.vid
+"""
+)
+
+_SCAN_SQL = (
+    _SUPPLIER_PRELUDE
+    + """,
+wed AS (SELECT a.n AS u, b.n AS v FROM sym a JOIN sym b ON a.v = b.v AND a.n < b.n),
+cnt AS (SELECT u, v, COUNT(*) AS cn FROM wed GROUP BY 1, 2)
+SELECT e.src, e.dst,
+       FLOOR((COALESCE(c.cn, 0) + 2.0)
+             / SQRT((du.d + 1.0) * (dv.d + 1.0))
+             * 1000000 + 0.5) / 1000000.0 AS score
+FROM ue e
+LEFT JOIN cnt c ON c.u = e.src AND c.v = e.dst
+JOIN sdeg du ON du.v = e.src
+JOIN sdeg dv ON dv.v = e.dst
+"""
+)
+
+_LOCAL_DEGREE_SQL = (
+    _SUPPLIER_PRELUDE
+    + """,
+ranked AS (
+  SELECT s.v, s.n, dv.d AS dsrc,
+         ROW_NUMBER() OVER (PARTITION BY s.v ORDER BY dn.d DESC, s.n ASC) AS rnk
+  FROM sym s JOIN sdeg dn ON dn.v = s.n JOIN sdeg dv ON dv.v = s.v
+),
+dirsc AS (
+  SELECT LEAST(v, n) AS src, GREATEST(v, n) AS dst,
+         CASE WHEN dsrc <= 1 OR rnk = 1 THEN 1.0
+              ELSE 1.0 - LN(rnk) / LN(dsrc) END AS s
+  FROM ranked
+)
+SELECT src, dst, FLOOR(MAX(s) * 1000000 + 0.5) / 1000000.0 AS score
+FROM dirsc GROUP BY 1, 2
+"""
+)
+
+_TOPO_LEVELS_SQL = """
+SELECT o_orderkey AS vid,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY CAST(o_orderdate AS DATE), o_orderkey) - 1
+            AS BIGINT) AS level
+FROM orders
+"""
+
 _KNN_IVF_SQL = """
 WITH cent AS (
   SELECT embedding AS ce,
@@ -1699,6 +1895,11 @@ def oracle_sql() -> dict[str, str]:
         "kcore_membership": _kcore_sql(3, 30),
         "degree_assortativity": _ASSORTATIVITY_SQL,
         "edge_triangle_scores": _EDGE_TRI_SQL,
+        "laplacian_centrality": _LAPLACIAN_SQL,
+        "sfigality": _SFIGALITY_SQL,
+        "scan_scores": _SCAN_SQL,
+        "local_degree_scores": _LOCAL_DEGREE_SQL,
+        "topological_levels": _TOPO_LEVELS_SQL,
         # minhash_dedup_groups / simhash_near_dups / fingerprints / anf_sketch
         # / corpus_* are not SQL-expressible (LSH banding, rolling hashes,
         # FM sketches, regex corpus extraction) -> rows-only checks;

@@ -6,7 +6,10 @@ PageRank SpMV-iteration skeleton with a constant teleport (x' = α·Aᵀx + β,
 fixed iterations — matching the reference's KatzCentrality power iteration);
 LCC composes per-vertex triangle counts with degrees
 (lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), the reference's
-LocalClusteringCoefficient definition).
+LocalClusteringCoefficient definition); Laplacian centrality and sfigality
+(reference centrality/LaplacianCentrality, centrality/Sfigality) are one
+neighbor-degree join each — closed forms over degrees, no eigensolve needed
+for the unweighted Laplacian energy drop.
 """
 
 from __future__ import annotations
@@ -217,6 +220,166 @@ def eigenvector_centrality(
         lambda t: pa.table({"vid": t["vid"], "x": pc.divide(t["x"], norm)}),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    )
+
+
+def _neighbor_degree_join(edges_ds, num_partitions: int):
+    """Shared skeleton for the degree-local centralities: canonical
+    undirected simple edges, symmetrized, with BOTH endpoint degrees
+    attached -> Dataset(src, dst, deg_src, deg_dst) plus the degree table.
+    Two co-partitioned joins; degrees are vertex-sized (pre-combined)."""
+    canon = canonicalize_undirected(edges_ds, weight="one")
+    sym = symmetrize(canon).select_columns(["src", "dst"]).materialize()
+    deg = (
+        out_degrees(symmetrize(canon), weighted=False)
+        .select_columns(["vid", "out_deg"])
+        .materialize()
+    )
+    j1 = sym.join(
+        deg, join_type="inner", num_partitions=num_partitions, on=("src",), right_on=("vid",)
+    ).map_batches(
+        lambda t: pa.table(
+            {"src": t["src"], "dst": t["dst"], "deg_src": t["out_deg"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    both = j1.join(
+        deg, join_type="inner", num_partitions=num_partitions, on=("dst",), right_on=("vid",)
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "deg_src": t["deg_src"],
+                "deg_dst": t["out_deg"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return both, deg
+
+
+def laplacian_centrality(edges_ds, vertices_ds=None, num_partitions: int = 8):
+    """Unweighted Laplacian centrality (reference
+    centrality/LaplacianCentrality): the drop in Laplacian energy
+    E(G) = Σ d_i² + Σ d_i when vertex v is removed, which has the closed
+    form  lc(v) = d_v² + d_v + 2·Σ_{u∈N(v)} d_u  — one neighbor-degree join
+    + one pre-combined groupby, no eigensolve.  Isolated vertices score 0.
+    -> Dataset(vid, lc) with lc int64."""
+    from ray.data.aggregate import Sum
+
+    if vertices_ds is None:
+        vertices_ds = vertices_from_edges(edges_ds)
+    both, deg = _neighbor_degree_join(edges_ds, num_partitions)
+
+    def pre(t: pa.Table) -> pa.Table:
+        # per-src partial sum of neighbor degrees
+        g = t.select(["src", "deg_dst"]).group_by("src").aggregate(
+            [("deg_dst", "sum")]
+        )
+        return g.rename_columns(["vid", "nbr_deg_sum"])
+
+    nbr = (
+        both.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("vid", num_partitions=num_partitions)
+        .aggregate(Sum("nbr_deg_sum", alias_name="nbr_deg_sum"))
+    )
+    return (
+        vertices_ds.select_columns(["vid"])
+        .join(deg, join_type="left_outer", num_partitions=num_partitions, on=("vid",))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "vid": t["vid"],
+                    "d": pc.fill_null(pc.cast(t["out_deg"], pa.int64()), 0),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .join(nbr, join_type="left_outer", num_partitions=num_partitions, on=("vid",))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "vid": t["vid"],
+                    "lc": pc.add(
+                        pc.add(
+                            pc.multiply(t["d"], t["d"]),
+                            t["d"],
+                        ),
+                        pc.multiply(
+                            pc.fill_null(pc.cast(t["nbr_deg_sum"], pa.int64()), 0),
+                            pa.scalar(2, pa.int64()),
+                        ),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
+def sfigality(edges_ds, vertices_ds=None, num_partitions: int = 8):
+    """Sfigality (reference centrality/Sfigality): the fraction of a
+    vertex's neighbors that have STRICTLY higher degree,
+    σ(v) = |{u ∈ N(v): d_u > d_v}| / d_v.  Same neighbor-degree join as
+    Laplacian centrality; vertices with degree 0 score 0.
+    -> Dataset(vid, sfigality float64)."""
+    from ray.data.aggregate import Sum
+
+    if vertices_ds is None:
+        vertices_ds = vertices_from_edges(edges_ds)
+    both, deg = _neighbor_degree_join(edges_ds, num_partitions)
+
+    def pre(t: pa.Table) -> pa.Table:
+        higher = pc.cast(pc.greater(t["deg_dst"], t["deg_src"]), pa.int64())
+        out = pa.table({"vid": t["src"], "hi": higher})
+        return (
+            out.group_by("vid").aggregate([("hi", "sum")]).rename_columns(["vid", "hi"])
+        )
+
+    hi = (
+        both.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("vid", num_partitions=num_partitions)
+        .aggregate(Sum("hi", alias_name="hi"))
+    )
+    return (
+        vertices_ds.select_columns(["vid"])
+        .join(deg, join_type="left_outer", num_partitions=num_partitions, on=("vid",))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "vid": t["vid"],
+                    "d": pc.fill_null(pc.cast(t["out_deg"], pa.int64()), 0),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .join(hi, join_type="left_outer", num_partitions=num_partitions, on=("vid",))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "vid": t["vid"],
+                    "sfigality": pc.if_else(
+                        pc.greater(t["d"], 0),
+                        pc.divide(
+                            pc.cast(
+                                pc.fill_null(pc.cast(t["hi"], pa.int64()), 0),
+                                pa.float64(),
+                            ),
+                            pc.cast(t["d"], pa.float64()),
+                        ),
+                        pa.scalar(0.0),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     )
 
 

@@ -197,13 +197,11 @@ def degree_assortativity(edges_ds, num_partitions: int = 8):
     )
 
 
-def edge_triangle_scores(edges_ds, num_partitions: int = 8):
-    """-> Dataset(src, dst, cn, score): per-edge common-neighbor (triangle)
-    count and neighborhood-Jaccard similarity score
-    score = cn / (deg_u + deg_v - cn)  — the reference's
-    sparsification edge-score family (TriangleEdgeScore feeding similarity-
-    based filters).  Wedge self-join shape shared with linkpred (same hub
-    caveat: wedge volume is sum over pivots of deg²)."""
+def _edge_cn_with_degrees(edges_ds, num_partitions: int = 8):
+    """Shared core of the similarity-based edge scores: per canonical edge
+    (src < dst) the common-neighbor count and both endpoint degrees ->
+    Dataset(src, dst, cn, du, dv).  Wedge self-join shape shared with
+    linkpred (same hub caveat: wedge volume is sum over pivots of deg²)."""
     canon = canonicalize_undirected(edges_ds, weight="one").materialize()
     sym = symmetrize(canon).materialize()
     deg = (
@@ -279,6 +277,16 @@ def edge_triangle_scores(edges_ds, num_partitions: int = 8):
         ),
         {"src": "src", "dst": "dst", "cn": "cn", "du": "du", "dv": "out_deg"},
     )
+    return j2
+
+
+def edge_triangle_scores(edges_ds, num_partitions: int = 8):
+    """-> Dataset(src, dst, cn, score): per-edge common-neighbor (triangle)
+    count and neighborhood-Jaccard similarity score
+    score = cn / (deg_u + deg_v - cn)  — the reference's
+    sparsification edge-score family (TriangleEdgeScore feeding similarity-
+    based filters)."""
+    j2 = _edge_cn_with_degrees(edges_ds, num_partitions)
 
     def score(t: pa.Table) -> pa.Table:
         cnv = t["cn"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
@@ -295,6 +303,144 @@ def edge_triangle_scores(edges_ds, num_partitions: int = 8):
         )
 
     return j2.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def scan_similarity_scores(edges_ds, num_partitions: int = 8):
+    """SCAN structural similarity per edge (reference
+    sparsification/SCANStructuralSimilarityScore):
+        σ(u,v) = |Γ(u) ∩ Γ(v)| / sqrt(|Γ(u)|·|Γ(v)|)
+    with CLOSED neighborhoods Γ(x) = N(x) ∪ {x}, so for an existing edge
+    |Γ(u) ∩ Γ(v)| = cn(u,v) + 2.  Same wedge-join core as
+    edge_triangle_scores.  -> Dataset(src, dst, score)."""
+    j2 = _edge_cn_with_degrees(edges_ds, num_partitions)
+
+    def score(t: pa.Table) -> pa.Table:
+        cnv = t["cn"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        du = t["du"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        dv = t["dv"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "score": (cnv + 2.0) / np.sqrt((du + 1.0) * (dv + 1.0)),
+            }
+        )
+
+    return j2.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def local_degree_scores(edges_ds, num_partitions: int = 8):
+    """Local Degree sparsification score (reference
+    sparsification/LocalDegreeScore, Lindner et al.): for directed view
+    (u→v), rank v among u's neighbors ordered by (degree DESC, vid ASC);
+    the directed score is 1 − ln(rank)/ln(d_u) (1.0 when d_u ≤ 1 or
+    rank == 1); the edge score is the max over both directions — edges
+    leading to locally-high-degree neighbors survive a threshold filter.
+
+    Rank is computed as 1 + |{w ∈ N(u) ranked above v}| via a neighbor
+    self-join on u with per-batch pre-combine (wedge volume Σ d_u² — the
+    linkpred hub caveat applies; the deterministic (deg, vid) tie-break
+    makes the output SQL-window mirrorable).
+    -> Dataset(src, dst, score) over canonical (src < dst) edges."""
+    from ray.data.aggregate import Sum
+
+    canon = canonicalize_undirected(edges_ds, weight="one").materialize()
+    sym_w = symmetrize(canon).materialize()
+    deg = (
+        out_degrees(sym_w, weighted=False)
+        .select_columns(["vid", "out_deg"])
+        .materialize()
+    )
+    sym = sym_w.select_columns(["src", "dst"])
+    adj = _project(
+        sym.join(
+            deg,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("dst",),
+            right_on=("vid",),
+        ),
+        {"src": "src", "dst": "dst", "deg_dst": "out_deg"},
+    ).materialize()
+
+    pairs = adj.join(
+        adj,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("src",),
+        left_suffix="_a",
+        right_suffix="_b",
+    )
+
+    def above(t: pa.Table) -> pa.Table:
+        # count neighbors b ranked above a in N(src): deg desc, vid asc
+        da = t["deg_dst_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        db = t["deg_dst_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        va = t["dst_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        vb = t["dst_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        hi = (db > da) | ((db == da) & (vb < va))
+        out = pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst_a"],
+                "above": pa.array(hi.astype(np.int64)),
+            }
+        )
+        return (
+            out.group_by(["src", "dst"])
+            .aggregate([("above", "sum")])
+            .rename_columns(["src", "dst", "above"])
+        )
+
+    ranks = (
+        pairs.map_batches(above, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src", "dst"], num_partitions=num_partitions)
+        .aggregate(Sum("above", alias_name="above"))
+    )
+
+    scored = _project(
+        ranks.join(
+            deg,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("vid",),
+        ),
+        {"src": "src", "dst": "dst", "above": "above", "d_src": "out_deg"},
+    )
+
+    def directed_score(t: pa.Table) -> pa.Table:
+        rank = (
+            t["above"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+            + 1.0
+        )
+        d = t["d_src"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = 1.0 - np.log(rank) / np.log(np.maximum(d, 2.0))
+        s = np.where((d <= 1.0) | (rank <= 1.0), 1.0, s)
+        # canonicalize for the undirected max-combine
+        u = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        out = pa.table(
+            {
+                "src": np.minimum(u, v),
+                "dst": np.maximum(u, v),
+                "score": s,
+            }
+        )
+        return (
+            out.group_by(["src", "dst"])
+            .aggregate([("score", "max")])
+            .rename_columns(["src", "dst", "score"])
+        )
+
+    from ray.data.aggregate import Max
+
+    return (
+        scored.map_batches(directed_score, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src", "dst"], num_partitions=num_partitions)
+        .aggregate(Max("score", alias_name="score"))
+    )
 
 
 def global_threshold_filter(scored_ds, col: str = "score", threshold: float = 0.1):

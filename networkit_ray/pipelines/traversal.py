@@ -113,6 +113,36 @@ def sssp_weighted(
     return dist, rounds
 
 
+def topological_levels(
+    edges_ds,
+    vertices_ds=None,
+    num_partitions: int = 8,
+    max_rounds: int | None = None,
+):
+    """Topological levels of a DAG (reference graph/TopologicalSort;
+    SURVEY.md §2.3) -> (Dataset(vid, level), rounds).
+
+    level(v) = length of the longest path from any source to v — exactly
+    the Kahn peel round in which v would be removed, so sorting by
+    (level, vid) yields a valid (and deterministic) topological order.
+    Runs max-propagation rounds on the BSP CSR pool (duplicate-invariant,
+    so no dedup shuffle is needed); rounds are bounded by the DAG depth.
+    Raises ValueError if the input has a cycle (no fixpoint within
+    min(|V|, max_rounds) rounds)."""
+    from networkit_ray.state.csr import BSPGraph
+    from networkit_ray.stages.graphops import drop_self_loops
+
+    g = BSPGraph(
+        drop_self_loops(edges_ds.select_columns(["src", "dst", "w"])),
+        vertices_ds,
+        num_partitions,
+    )
+    try:
+        return g.topo_levels(max_rounds=max_rounds)
+    finally:
+        g.shutdown()
+
+
 def closeness_sampled(
     edges_ds,
     sources=None,

@@ -294,6 +294,34 @@ class CSRPartition:
     def labels_table(self) -> pa.Table:
         return pa.table({"vid": self.owned, "label": self.label})
 
+    # ---- topological levels (longest path from a source, DAG only) --------
+    def topo_init(self) -> None:
+        self.level = np.zeros(self.n_owned, dtype=np.int64)
+
+    def topo_messages(self):
+        """Per-target max over incident edges of level[src] + 1."""
+        out = []
+        for src_local, _w, out_idx, n_out in self.route:
+            if n_out == 0:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            m = np.full(n_out, -1, dtype=np.int64)
+            np.maximum.at(m, out_idx, self.level[src_local] + 1)
+            out.append(m)
+        return out[0] if self.P == 1 else tuple(out)
+
+    def topo_apply(self, *msgs) -> int:
+        new = self.level.copy()
+        for s, m in enumerate(msgs):
+            if len(m):
+                np.maximum.at(new, self.in_idx[s], m)
+        changed = int((new != self.level).sum())
+        self.level = new
+        return changed
+
+    def levels_table(self) -> pa.Table:
+        return pa.table({"vid": self.owned, "level": self.level})
+
     # ---- BFS frontier kernel ----------------------------------------------
     def bfs_init(self, sources: np.ndarray) -> int:
         """Multi-source BFS: depth 0 at owned sources; frontier = those."""
@@ -876,6 +904,51 @@ class BSPGraph:
         if not collect:
             return None, rounds
         return self._collect("depths_table"), rounds
+
+    # ---- topological levels (DAG) ------------------------------------------
+    def topo_levels(self, max_rounds: int | None = None, stats=None):
+        """Longest-path-from-a-source level per vertex of a DAG — the
+        parallel formulation of the reference's graph/TopologicalSort
+        (vertices sorted by (level, vid) are a valid topological order;
+        level r = Kahn peel round r).  Max-propagation rounds to the
+        fixpoint; on a DAG the fixpoint is reached within diameter rounds,
+        so exceeding |V| rounds (or ``max_rounds``) proves a cycle and
+        raises ValueError.  Returns (Dataset(vid, level), rounds)."""
+        P, actors = self.P, self.actors
+        ray.get([a.topo_init.remote() for a in actors])
+        limit = max_rounds if max_rounds is not None else self.n + 1
+        rounds = 0
+        t0 = time.perf_counter()
+        while True:
+            rounds += 1
+            if rounds > limit:
+                raise ValueError(
+                    "topo_levels did not reach a fixpoint within "
+                    f"{limit} rounds — the input graph has a cycle "
+                    "(topological order undefined)"
+                )
+            if P == 1:
+                msg_refs = [[actors[0].topo_messages.remote()]]
+            else:
+                msg_refs = [
+                    list(a.topo_messages.options(num_returns=P).remote())
+                    for a in actors
+                ]
+            changed = sum(
+                ray.get(
+                    [
+                        actors[t].topo_apply.remote(
+                            *[msg_refs[s][t] for s in range(P)]
+                        )
+                        for t in range(P)
+                    ]
+                )
+            )
+            if changed == 0:
+                break
+        if stats is not None:
+            stats.setdefault("iter_wall_s", []).append(time.perf_counter() - t0)
+        return self._collect("levels_table"), rounds
 
     # ---- weighted SSSP (delta-stepping) ------------------------------------
     def sssp(self, sources: np.ndarray, delta: float = 1.0, stats=None):
