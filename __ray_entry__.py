@@ -217,7 +217,7 @@ def q_link_prediction(sf_dir):
     from networkit_ray.pipelines.linkpred import link_prediction_scores
 
     out = link_prediction_scores(_supplier_edges(sf_dir), num_partitions=P)
-    return _round6(_round6(out, "jaccard"), "adamic_adar")
+    return _round6(_round6(_round6(out, "jaccard"), "adamic_adar"), "resource_alloc")
 
 
 def q_tumbling_window(sf_dir):
@@ -432,6 +432,21 @@ def q_edge_switch_degrees(sf_dir):
             zero_copy_batch=True,
         )
     )
+
+
+def q_degree_shuffle_degrees(sf_dir):
+    """Identity contract of DegreePreservingShuffle: node ids permute only
+    WITHIN equal-degree classes, so the shuffled graph's per-vertex degree
+    table is bit-identical to the original's — which the degree-centrality
+    SQL oracle computes on the un-shuffled graph.  Bijectivity/isomorphism
+    oracles live in tests/test_randomization.py."""
+    from networkit_ray.pipelines.centrality import degree_centrality
+    from networkit_ray.pipelines.randomization import degree_preserving_shuffle
+
+    rnd = degree_preserving_shuffle(
+        _supplier_edges(sf_dir), seed=13, num_partitions=P
+    ).materialize()
+    return degree_centrality(rnd, _suppliers(sf_dir), num_partitions=P)
 
 
 _EDGE_SWITCH_DEG_SQL = """
@@ -1035,6 +1050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maximal_cliques": q_maximal_cliques,
         "cliques_bipartite": q_cliques_bipartite,
         "edge_switch_degrees": q_edge_switch_degrees,
+        "degree_shuffle_degrees": q_degree_shuffle_degrees,
         "approx_betweenness": q_betweenness,
         "louvain_communities": q_louvain,
         "luby_mis": q_luby_mis,
@@ -1338,13 +1354,16 @@ wed AS (
   JOIN sdeg dp ON dp.v = a.v
 ),
 agg AS (
-  SELECT u, v, COUNT(*) AS cn, SUM(1.0 / LN(piv_d)) AS aa
+  SELECT u, v, COUNT(*) AS cn, SUM(1.0 / LN(piv_d)) AS aa,
+         SUM(1.0 / piv_d) AS ra
   FROM wed GROUP BY 1, 2
 )
 SELECT agg.u, agg.v, agg.cn,
        FLOOR(CAST(agg.cn AS DOUBLE) / (du.d + dv.d - agg.cn)
              * 1000000 + 0.5) / 1000000.0 AS jaccard,
-       FLOOR(agg.aa * 1000000 + 0.5) / 1000000.0 AS adamic_adar
+       FLOOR(agg.aa * 1000000 + 0.5) / 1000000.0 AS adamic_adar,
+       FLOOR(agg.ra * 1000000 + 0.5) / 1000000.0 AS resource_alloc,
+       CAST(du.d * dv.d AS BIGINT) AS pref_attach
 FROM agg JOIN sdeg du ON du.v = agg.u JOIN sdeg dv ON dv.v = agg.v
 """
 )
@@ -1890,6 +1909,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cliques_bipartite": _CLIQUES_BIPARTITE_SQL,
         "edge_switch_degrees": _EDGE_SWITCH_DEG_SQL.format(edges=_EDGES_SQL),
+        "degree_shuffle_degrees": _DEGREE_CENTRALITY_SQL,
         "closeness_sampled": _CLOSENESS_SQL,
         "eigenvector_centrality": _eigenvector_sql(10),
         "kcore_membership": _kcore_sql(3, 30),

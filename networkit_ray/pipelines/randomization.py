@@ -1,7 +1,9 @@
-"""Degree-preserving graph randomization — parallel edge switching.
+"""Degree-preserving graph randomization — parallel edge switching and
+degree-preserving node shuffle.
 
 Reference counterpart: randomization/{EdgeSwitchingMarkovChainGenerator,
-EdgeSwitching} (SURVEY.md §2.3): the null-model generator for significance
+EdgeSwitching, DegreePreservingShuffle} (SURVEY.md §2.3): the null-model
+generators for significance
 testing of community / centrality results.  The sequential MCMC picks two
 random edges and crosses their endpoints; the distributed round re-expressed
 Ray-Data-first:
@@ -279,4 +281,107 @@ def edge_switching(
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    )
+
+
+def degree_preserving_permutation(
+    edges_ds,
+    seed: int = 42,
+    num_partitions: int = 8,
+    target_class: int = 65536,
+):
+    """-> Dataset(old, new): a deterministic bijection on the graph's
+    vertices that maps every vertex to a vertex of the SAME degree — the
+    reference's randomization/DegreePreservingShuffle (it shuffles node
+    identities, leaving the degree sequence bit-identical).
+
+    Scale shape: degree classes are salted into hash sub-buckets of
+    expected size <= target_class before the permute (permuting within any
+    subset of an equal-degree class is still degree-preserving), so no
+    map_groups group ever approaches the size of the deg-1 class of a
+    power-law graph; inside a group the permute is one lexsort."""
+    from networkit_ray.stages.graphops import out_degrees, symmetrize
+
+    canon = canonicalize_undirected(edges_ds, weight="one").materialize()
+    deg = (
+        out_degrees(symmetrize(canon), weighted=False)
+        .select_columns(["vid", "out_deg"])
+        .materialize()
+    )
+    n = deg.count()
+    n_buckets = max(1, n // max(target_class, 1))
+
+    def cls(t: pa.Table) -> pa.Table:
+        vid = t["vid"].combine_chunks().to_numpy(zero_copy_only=False)
+        h = _hash2(vid, vid, seed)
+        return pa.table(
+            {
+                "vid": vid,
+                "deg": t["out_deg"],
+                "bucket": (h % np.uint64(n_buckets)).view(np.int64),
+            }
+        )
+
+    def perm(df: pd.DataFrame) -> pd.DataFrame:
+        vids = df["vid"].to_numpy(np.int64)
+        a = np.sort(vids)
+        h = _hash2(vids, vids, seed ^ 0x5851F42D)
+        b = vids[np.lexsort((vids, h))]
+        return pd.DataFrame({"old": a, "new": b})
+
+    return (
+        deg.map_batches(cls, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["deg", "bucket"], num_partitions=num_partitions)
+        .map_groups(perm, batch_format="pandas")
+    )
+
+
+def degree_preserving_shuffle(
+    edges_ds,
+    seed: int = 42,
+    num_partitions: int = 8,
+    target_class: int = 65536,
+):
+    """edges(src,dst[,w]) -> Dataset(src, dst, w=1): the graph with node
+    identities shuffled within equal-degree classes (an isomorphic image
+    whose per-vertex degree table is IDENTICAL to the input's — the
+    property the driver oracle value-checks).  Two relabel joins."""
+    canon = (
+        canonicalize_undirected(edges_ds, weight="one")
+        .select_columns(["src", "dst"])
+        .materialize()
+    )
+    mapping = degree_preserving_permutation(
+        edges_ds, seed=seed, num_partitions=num_partitions, target_class=target_class
+    ).materialize()
+    j1 = canon.join(
+        mapping,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("src",),
+        right_on=("old",),
+    ).map_batches(
+        lambda t: pa.table({"s2": t["new"], "dst": t["dst"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return (
+        j1.join(
+            mapping,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("dst",),
+            right_on=("old",),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "src": pc.min_element_wise(t["s2"], t["new"]),
+                    "dst": pc.max_element_wise(t["s2"], t["new"]),
+                    "w": pa.array(np.ones(t.num_rows, np.float64)),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     )

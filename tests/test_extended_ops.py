@@ -78,10 +78,14 @@ def test_link_prediction_vs_networkx(ray_session):
         (u, v): len(list(nx.common_neighbors(G, u, v)))
         for u, v in pairs
     }
+    ra = {(u, v): p for u, v, p in nx.resource_allocation_index(G, pairs)}
+    pa_idx = {(u, v): p for u, v, p in nx.preferential_attachment(G, pairs)}
     for uv in pairs:
         assert got.loc[uv, "cn"] == cn[uv], uv
         assert abs(got.loc[uv, "jaccard"] - jac[uv]) < 1e-9, uv
         assert abs(got.loc[uv, "adamic_adar"] - aa[uv]) < 1e-9, uv
+        assert abs(got.loc[uv, "resource_alloc"] - ra[uv]) < 1e-9, uv
+        assert got.loc[uv, "pref_attach"] == pa_idx[uv], uv
     # completeness: every pair with >=1 common neighbor is present
     n_expected = sum(
         1

@@ -58,3 +58,64 @@ def test_edge_switching_deterministic(ray_session):
     assert sorted(zip(a["src"], a["dst"])) == sorted(zip(b["src"], b["dst"]))
     c = edge_switching(ds_of(G), rounds=3, seed=8, num_partitions=2).to_pandas()
     assert sorted(zip(a["src"], a["dst"])) != sorted(zip(c["src"], c["dst"]))
+
+
+# ---- degree-preserving shuffle ------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["karate", "ba300"])
+def test_degree_preserving_permutation_bijection(ray_session, name):
+    from networkit_ray.pipelines.randomization import (
+        degree_preserving_permutation,
+    )
+
+    G = fixture_graph(name)
+    m = degree_preserving_permutation(ds_of(G), seed=5, num_partitions=3).to_pandas()
+    deg = dict(G.degree())
+    # bijection on the non-isolated vertex set
+    assert sorted(m["old"]) == sorted(m["new"])
+    assert m["old"].is_unique and m["new"].is_unique
+    # degree-preserving: image has the same degree as the preimage
+    for row in m.itertuples():
+        assert deg[int(row.old)] == deg[int(row.new)]
+
+
+def test_degree_preserving_shuffle_is_isomorphic_image(ray_session):
+    from networkit_ray.pipelines.randomization import (
+        degree_preserving_permutation,
+        degree_preserving_shuffle,
+    )
+
+    G = fixture_graph("ba300")
+    m = (
+        degree_preserving_permutation(ds_of(G), seed=5, num_partitions=3)
+        .to_pandas()
+        .set_index("old")["new"]
+    )
+    out = degree_preserving_shuffle(ds_of(G), seed=5, num_partitions=3).to_pandas()
+    got = set(zip(out["src"].astype(int), out["dst"].astype(int)))
+    want = set()
+    for u, v in G.edges():
+        a, b = int(m[int(u)]), int(m[int(v)])
+        want.add((min(a, b), max(a, b)))
+    assert got == want
+    assert len(got) == G.number_of_edges()
+    # per-vertex degrees of the shuffled graph equal the original's
+    H = nx.Graph(got)
+    for v in G.nodes:
+        assert H.degree(v) if v in H else 0 == G.degree(v)
+    # non-trivial: a BA graph has big equal-degree classes, so the
+    # deterministic shuffle must actually move edges
+    orig = {(min(int(u), int(v)), max(int(u), int(v))) for u, v in G.edges()}
+    assert got != orig
+
+
+def test_degree_preserving_shuffle_deterministic(ray_session):
+    from networkit_ray.pipelines.randomization import degree_preserving_shuffle
+
+    G = fixture_graph("karate")
+    a = degree_preserving_shuffle(ds_of(G), seed=9, num_partitions=2).to_pandas()
+    b = degree_preserving_shuffle(ds_of(G), seed=9, num_partitions=4).to_pandas()
+    ka = sorted(zip(a["src"], a["dst"]))
+    kb = sorted(zip(b["src"], b["dst"]))
+    assert ka == kb
