@@ -183,6 +183,33 @@ def q_label_propagation(sf_dir):
     return labels
 
 
+def q_dynamic_cc_replay(sf_dir):
+    """Incremental CC under streaming inserts: the customer-supplier edges
+    replay in 3 deterministic hash-batches through
+    DynamicConnectedComponents; the final labeling must equal the
+    batch-oblivious connected components (the CC SQL oracle)."""
+    from networkit_ray.pipelines.dynamic import DynamicConnectedComponents
+
+    edges = _edges(sf_dir).materialize()
+    dyn = DynamicConnectedComponents(num_partitions=P)
+
+    def chunk(k):
+        def pick(t: pa.Table, _k=k) -> pa.Table:
+            s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            d = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+            import pandas as pd
+
+            h = pd.util.hash_array(s * np.int64(1000003) ^ d)
+            return t.filter(pa.array(h % 3 == _k))
+
+        return edges.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+    labels = None
+    for k in range(3):
+        labels = dyn.update(chunk(k))
+    return labels
+
+
 def q_triangles(sf_dir):
     from networkit_ray.pipelines.triangles import triangle_counts
 
@@ -1005,6 +1032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "pagerank_top20": q_pagerank_top20,
         "connected_components": q_connected_components,
+        "dynamic_cc_replay": q_dynamic_cc_replay,
         "label_propagation": q_label_propagation,
         "triangle_counts": q_triangles,
         "degree_centrality": q_degree_centrality,
@@ -1869,6 +1897,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_top20": _pagerank_sql(PR_ITERS)
         + " ORDER BY score DESC, vid ASC LIMIT 20",
         "connected_components": _CC_SQL,
+        "dynamic_cc_replay": _CC_SQL,
         "label_propagation": _plp_sql(PLP_ITERS),
         "triangle_counts": _TRIANGLES_SQL,
         "degree_centrality": _DEGREE_CENTRALITY_SQL,
