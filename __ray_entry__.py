@@ -1018,6 +1018,41 @@ def q_corpus_pagerank(sf_dir):
     return _round6(out, "score")
 
 
+def q_ppr_seed(sf_dir):
+    """Personalized PageRank from one seed vertex (the PPR phase of the
+    reference's scd/PageRankNibble): fixed-iteration power recursion over
+    the undirected customer-supplier graph, SQL-mirrored (katz pattern)."""
+    from networkit_ray.pipelines.scd import personalized_pagerank
+
+    out = personalized_pagerank(
+        _edges(sf_dir), seed_vid=1, alpha=0.15, iters=10, num_partitions=P
+    )
+    return _round6(out, "ppr")
+
+
+def q_pagerank_nibble(sf_dir):
+    """Seeded sweep-cut community (scd/PageRankNibble). Membership near the
+    cut boundary is FP-tie-order-defined for automorphic vertices -> rows-only
+    driver check; the sweep-optimality value oracle is tests/test_scd.py."""
+    from networkit_ray.pipelines.scd import pagerank_nibble
+
+    members, phi = pagerank_nibble(
+        _edges(sf_dir), seed_vid=1, alpha=0.15, iters=10, max_size=50,
+        num_partitions=P,
+    )
+    phi_r = float(np.floor(phi * 1e6 + 0.5) / 1e6)
+    return members.map_batches(
+        lambda t: pa.table(
+            {
+                "vid": t["vid"],
+                "phi": pa.array(np.full(t.num_rows, phi_r)),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def entry() -> Any:
     """Flagship on sf0.001: build customer-supplier graph, PageRank via the
     BSP CSR actor engine, return the scored vertex table."""
@@ -1086,6 +1121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anf_sketch": q_anf_sketch,
         "corpus_extract_edges": q_corpus_extract,
         "corpus_pagerank": q_corpus_pagerank,
+        "ppr_seed": q_ppr_seed,
+        "pagerank_nibble": q_pagerank_nibble,
     }
 
 
@@ -1348,6 +1385,48 @@ SELECT vid, FLOOR(x * 1000000 + 0.5) / 1000000.0 AS x
 FROM kz WHERE iter = {iters}
 """
     )
+
+
+def _ppr_sql(seed: int, iters: int, alpha: float) -> str:
+    """Fixed-iteration personalized PageRank (PageRankNibble PPR phase)
+    over the undirected simple customer-supplier graph.  The iterations are
+    UNROLLED as chained CTEs rather than a WITH RECURSIVE: DuckDB 1.0.0
+    miscompiles the katz-style recursion when the anchor is a non-uniform
+    indicator vector (verified: `x*w` inside the recursive term evaluates
+    with a spurious additive term on a 3-vertex path), while each single
+    join+groupby step evaluates correctly."""
+    steps = []
+    for i in range(iters):
+        # one reference to x{i} per step + MATERIALIZED, else DuckDB's CTE
+        # inlining re-evaluates the chain exponentially
+        steps.append(
+            f"""x{i + 1} AS MATERIALIZED (
+  SELECT u.v AS vid,
+         {1.0 - alpha} * COALESCE(SUM(p.x * t.w), 0.0)
+         + CASE WHEN u.v = {seed} THEN {alpha} ELSE 0.0 END AS x
+  FROM udeg u
+  LEFT JOIN trans t ON t.dst = u.v
+  LEFT JOIN x{i} p ON p.vid = t.src
+  GROUP BY u.v
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH
+e0 AS ({_EDGES_SQL}),
+ue AS (SELECT DISTINCT src, dst FROM e0),
+usym AS (SELECT src AS v, dst AS n FROM ue UNION ALL SELECT dst, src FROM ue),
+udeg AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM usym GROUP BY 1),
+trans AS MATERIALIZED (
+  SELECT s.v AS src, s.n AS dst, 1.0 / sd.d AS w
+  FROM usym s JOIN udeg sd ON sd.v = s.v
+),
+x0 AS (SELECT v AS vid,
+              CASE WHEN v = {seed} THEN 1.0 ELSE 0.0 END AS x FROM udeg),
+{chain}
+SELECT vid, FLOOR(x * 1000000 + 0.5) / 1000000.0 AS ppr
+FROM x{iters}
+"""
 
 
 _LCC_SQL = (
@@ -1949,6 +2028,7 @@ def oracle_sql() -> dict[str, str]:
         "scan_scores": _SCAN_SQL,
         "local_degree_scores": _LOCAL_DEGREE_SQL,
         "topological_levels": _TOPO_LEVELS_SQL,
+        "ppr_seed": _ppr_sql(1, 10, 0.15),
         # minhash_dedup_groups / simhash_near_dups / fingerprints / anf_sketch
         # / corpus_* are not SQL-expressible (LSH banding, rolling hashes,
         # FM sketches, regex corpus extraction) -> rows-only checks;

@@ -1,0 +1,236 @@
+"""Seeded local community detection (SURVEY.md §2.3 `scd/` module):
+personalized PageRank + conductance sweep — the reference's PageRankNibble
+(Andersen–Chung–Lang approximate PPR with a sweep cut; the fixed-iteration
+power-iteration PPR here is deterministic and SQL-mirrorable, unlike ACL's
+push algorithm, while the sweep optimizes the identical objective).
+
+Scale shapes:
+- personalized_pagerank: the Katz/eigenvector SpMV-iteration skeleton with
+  a seed-restart teleport — per iteration one co-partitioned join + one
+  pre-combined groupby(dst) sum; V-sized score table, never driver-held.
+- pagerank_nibble: the sweep only ever examines the TOP max_size vertices
+  by ppr/deg (PageRankNibble's community-size budget) — a distributed
+  top-k; the driver then holds O(max_size) rows plus the in-candidate-set
+  edge ranks (≤ max_size²) and computes all prefix conductances in one
+  vectorized pass.  Nothing graph-sized reaches the driver; the global
+  volume is one scalar aggregate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Sum
+
+from networkit_ray.stages.graphops import (
+    canonicalize_undirected,
+    out_degrees,
+    symmetrize,
+)
+
+
+def _proj(ds, fn):
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def personalized_pagerank(
+    edges_ds,
+    seed_vid: int,
+    alpha: float = 0.15,
+    iters: int = 20,
+    num_partitions: int = 8,
+):
+    """x_{k+1} = α·e_seed + (1−α)·Σ_{u→v} x_k[u]/deg(u), x_0 = e_seed,
+    over the undirected simple graph; fixed iterations (deterministic, the
+    SQL oracle mirrors the recursion).  -> Dataset(vid, ppr)."""
+    canon = canonicalize_undirected(edges_ds, weight="one")
+    sym = symmetrize(canon).materialize()
+    deg = (
+        out_degrees(sym, weighted=False)
+        .select_columns(["vid", "out_deg"])
+        .materialize()
+    )
+    rate_edges = _proj(
+        sym.join(
+            deg,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("vid",),
+        ),
+        lambda t: pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "inv_deg": pc.divide(
+                    pa.scalar(1.0), pc.cast(t["out_deg"], pa.float64())
+                ),
+            }
+        ),
+    ).materialize()
+
+    seed = int(seed_vid)
+    scores = _proj(
+        deg,
+        lambda t: pa.table(
+            {
+                "vid": t["vid"],
+                "x": pc.if_else(
+                    pc.equal(t["vid"], pa.scalar(seed, pa.int64())),
+                    pa.scalar(1.0),
+                    pa.scalar(0.0),
+                ),
+            }
+        ),
+    ).materialize()
+
+    def _contrib(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {"vid": t["dst"], "c": pc.multiply(t["inv_deg"], t["x"])}
+        )
+        return (
+            out.group_by("vid").aggregate([("c", "sum")]).rename_columns(["vid", "c"])
+        )
+
+    for _ in range(iters):
+        contribs = (
+            _proj(
+                rate_edges.join(
+                    scores,
+                    join_type="inner",
+                    num_partitions=num_partitions,
+                    on=("src",),
+                    right_on=("vid",),
+                ),
+                _contrib,
+            )
+            .groupby("vid", num_partitions=num_partitions)
+            .aggregate(Sum("c", alias_name="c"))
+        )
+        scores = _proj(
+            scores.select_columns(["vid"]).join(
+                contribs,
+                join_type="left_outer",
+                num_partitions=num_partitions,
+                on=("vid",),
+            ),
+            lambda t: pa.table(
+                {
+                    "vid": t["vid"],
+                    "x": pc.add(
+                        pc.multiply(
+                            pc.fill_null(pc.cast(t["c"], pa.float64()), 0.0),
+                            1.0 - alpha,
+                        ),
+                        pc.if_else(
+                            pc.equal(t["vid"], pa.scalar(seed, pa.int64())),
+                            pa.scalar(float(alpha)),
+                            pa.scalar(0.0),
+                        ),
+                    ),
+                }
+            ),
+        ).materialize()
+    return _proj(
+        scores, lambda t: pa.table({"vid": t["vid"], "ppr": t["x"]})
+    )
+
+
+def pagerank_nibble(
+    edges_ds,
+    seed_vid: int,
+    alpha: float = 0.15,
+    iters: int = 20,
+    max_size: int = 100,
+    num_partitions: int = 8,
+):
+    """-> (Dataset(vid), conductance): the best sweep-cut community around
+    ``seed_vid`` — the prefix of the ppr/deg ordering (ties by vid) with
+    minimum conductance φ(S) = cut(S)/min(vol(S), vol(G)−vol(S)) among
+    prefixes of size ≤ max_size that contain the seed."""
+    import ray.data
+
+    canon = canonicalize_undirected(edges_ds, weight="one").materialize()
+    sym = symmetrize(canon).materialize()
+    deg = (
+        out_degrees(sym, weighted=False)
+        .select_columns(["vid", "out_deg"])
+        .materialize()
+    )
+    vol_total = float(deg.sum("out_deg") or 0)
+
+    ppr = personalized_pagerank(
+        canon, seed_vid, alpha=alpha, iters=iters, num_partitions=num_partitions
+    )
+    ranked = _proj(
+        ppr.join(
+            deg, join_type="inner", num_partitions=num_partitions, on=("vid",)
+        ),
+        lambda t: pa.table(
+            {
+                "vid": t["vid"],
+                "d": pc.cast(t["out_deg"], pa.int64()),
+                "ratio": pc.divide(
+                    t["ppr"], pc.cast(t["out_deg"], pa.float64())
+                ),
+            }
+        ),
+    )
+    # distributed top-k, then the O(max_size) candidate set on the driver
+    cand = (
+        ranked.sort(["ratio", "vid"], descending=[True, False])
+        .limit(max_size)
+        .to_pandas()
+    )
+    # drop zero-ppr tail (unreached vertices are never community members)
+    cand = cand[cand["ratio"] > 0.0].reset_index(drop=True)
+    if len(cand) == 0 or int(cand["vid"].iat[0]) != int(seed_vid):
+        # degenerate: the seed itself must lead the sweep (it always has
+        # the maximum ppr/deg after a restart-dominated iteration count —
+        # anything else means the seed has no edges)
+        out = ray.data.from_arrow(
+            pa.table({"vid": pa.array([int(seed_vid)], pa.int64())})
+        )
+        return out, 1.0
+
+    vids = cand["vid"].to_numpy(np.int64)
+    degs = cand["d"].to_numpy(np.int64)
+    rank_of = {int(v): i for i, v in enumerate(vids)}
+    K = len(vids)
+
+    # in-candidate-set edges as (min_rank, max_rank) pairs — broadcast the
+    # K-sized set, one filtered pass over the canonical edges
+    import ray as _ray
+
+    vref = _ray.put(np.sort(vids))
+
+    def inset(t: pa.Table, _ref=vref) -> pa.Table:
+        sset = _ray.get(_ref)
+        s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos_s = np.searchsorted(sset, s)
+        pos_d = np.searchsorted(sset, d)
+        np.clip(pos_s, 0, len(sset) - 1, out=pos_s)
+        np.clip(pos_d, 0, len(sset) - 1, out=pos_d)
+        keep = (sset[pos_s] == s) & (sset[pos_d] == d)
+        return pa.table({"a": s[keep], "b": d[keep]})
+
+    inset_edges = _proj(canon.select_columns(["src", "dst"]), inset).to_pandas()
+    ra = np.array([rank_of[int(x)] for x in inset_edges["a"]], dtype=np.int64)
+    rb = np.array([rank_of[int(x)] for x in inset_edges["b"]], dtype=np.int64)
+    hi_rank = np.maximum(ra, rb)
+
+    # prefix k (size k+1): internal(k) = #in-set edges with hi_rank <= k
+    internal = np.cumsum(np.bincount(hi_rank, minlength=K))
+    vol = np.cumsum(degs).astype(np.float64)
+    cut = vol - 2.0 * internal
+    other = vol_total - vol
+    denom = np.minimum(vol, other)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        phi = np.where(denom > 0, cut / denom, 1.0)
+    best = int(np.argmin(phi))  # first minimum -> deterministic
+    members = np.sort(vids[: best + 1])
+    out = ray.data.from_arrow(pa.table({"vid": pa.array(members, pa.int64())}))
+    return out, float(phi[best])

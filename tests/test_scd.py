@@ -1,0 +1,103 @@
+"""PageRankNibble: fixed-iteration PPR conformance + sweep-cut optimality
+on planted two-community graphs."""
+
+import networkx as nx
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from networkit_ray.pipelines.scd import pagerank_nibble, personalized_pagerank
+
+from tests.conftest import edges_dataset, fixture_graph
+
+
+def ref_ppr(G, seed, alpha, iters):
+    deg = dict(G.degree())
+    x = {v: 1.0 if v == seed else 0.0 for v in G.nodes}
+    for _ in range(iters):
+        new = {v: alpha if v == seed else 0.0 for v in G.nodes}
+        for u in G.nodes:
+            if x[u] == 0.0:
+                continue
+            share = (1.0 - alpha) * x[u] / deg[u]
+            for v in G[u]:
+                new[v] += share
+        x = new
+    return x
+
+
+@pytest.mark.parametrize("name,seed", [("karate", 0), ("er200", 5)])
+def test_personalized_pagerank(ray_session, name, seed):
+    G = fixture_graph(name)
+    got = (
+        personalized_pagerank(
+            edges_dataset(G), seed, alpha=0.15, iters=8, num_partitions=4
+        )
+        .to_pandas()
+        .set_index("vid")["ppr"]
+    )
+    want = ref_ppr(G, seed, 0.15, 8)
+    for v, w in want.items():
+        assert abs(got[int(v)] - w) < 1e-10, v
+
+
+def _two_cliques(k=12):
+    G = nx.Graph()
+    G.update(nx.complete_graph(range(k)))
+    G.update(nx.complete_graph(range(k, 2 * k)))
+    G.add_edge(0, k)
+    return G
+
+
+def test_pagerank_nibble_finds_planted_community(ray_session):
+    G = _two_cliques(12)
+    out, phi = pagerank_nibble(
+        edges_dataset(G), seed_vid=3, alpha=0.15, iters=20, max_size=20,
+        num_partitions=4,
+    )
+    members = set(out.to_pandas()["vid"].astype(int))
+    assert members == set(range(12))
+    # conductance of a 12-clique with one external edge: 1 / (2*66 + 1)
+    assert abs(phi - 1.0 / 133.0) < 1e-12
+
+
+def test_pagerank_nibble_sweep_is_optimal(ray_session):
+    """The returned prefix minimizes conductance over ALL prefixes of the
+    ppr/deg ordering (brute-force recomputation)."""
+    G = fixture_graph("karate")
+    seed, max_size = 0, 25
+    out, phi = pagerank_nibble(
+        edges_dataset(G), seed_vid=seed, alpha=0.15, iters=20,
+        max_size=max_size, num_partitions=4,
+    )
+    ppr = ref_ppr(G, seed, 0.15, 20)
+    deg = dict(G.degree())
+    order = sorted(
+        (v for v in G.nodes if ppr[v] > 0),
+        key=lambda v: (-ppr[v] / deg[v], v),
+    )[:max_size]
+    vol_total = 2 * G.number_of_edges()
+    best_phi, best_k = None, None
+    for k in range(1, len(order) + 1):
+        S = set(order[:k])
+        vol = sum(deg[v] for v in S)
+        cut = sum(1 for u, v in G.edges() if (u in S) != (v in S))
+        denom = min(vol, vol_total - vol)
+        p = cut / denom if denom > 0 else 1.0
+        if best_phi is None or p < best_phi:
+            best_phi, best_k = p, k
+    assert abs(phi - best_phi) < 1e-12
+    assert set(out.to_pandas()["vid"].astype(int)) == set(order[:best_k])
+
+
+def test_pagerank_nibble_isolated_seed(ray_session):
+    G = fixture_graph("karate")
+    # seed not in the graph's edge set -> singleton fallback
+    out, phi = pagerank_nibble(
+        edges_dataset(G), seed_vid=999, alpha=0.15, iters=5, max_size=10,
+        num_partitions=2,
+    )
+    assert out.to_pandas()["vid"].tolist() == [999]
+    assert phi == 1.0
