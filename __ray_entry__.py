@@ -1030,6 +1030,16 @@ def q_ppr_seed(sf_dir):
     return _round6(out, "ppr")
 
 
+def q_hits(sf_dir):
+    """HITS hubs/authorities on the directed weighted customer->supplier
+    edge table (centrality/HITS): fixed mutual power iterations, end-only
+    L2 normalization, SQL-mirrored via unrolled chained CTEs."""
+    from networkit_ray.pipelines.centrality import hits
+
+    out = hits(_edges(sf_dir), iters=5, num_partitions=P)
+    return _round6(_round6(out, "auth"), "hub")
+
+
 def q_pagerank_nibble(sf_dir):
     """Seeded sweep-cut community (scd/PageRankNibble). Membership near the
     cut boundary is FP-tie-order-defined for automorphic vertices -> rows-only
@@ -1123,6 +1133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_pagerank": q_corpus_pagerank,
         "ppr_seed": q_ppr_seed,
         "pagerank_nibble": q_pagerank_nibble,
+        "hits_scores": q_hits,
     }
 
 
@@ -1426,6 +1437,48 @@ x0 AS (SELECT v AS vid,
 {chain}
 SELECT vid, FLOOR(x * 1000000 + 0.5) / 1000000.0 AS ppr
 FROM x{iters}
+"""
+
+
+def _hits_sql(iters: int) -> str:
+    """HITS mutual power iterations unrolled as chained MATERIALIZED CTEs
+    (same DuckDB-recursion avoidance as _ppr_sql), end-only L2 norms."""
+    steps = []
+    for i in range(iters):
+        steps.append(
+            f"""a{i + 1} AS MATERIALIZED (
+  SELECT v.vid, COALESCE(SUM(e.w * h.x), 0.0) AS x
+  FROM hverts v
+  LEFT JOIN e0 e ON e.dst = v.vid
+  LEFT JOIN h{i} h ON h.vid = e.src
+  GROUP BY v.vid
+)"""
+        )
+        steps.append(
+            f"""h{i + 1} AS MATERIALIZED (
+  SELECT v.vid, COALESCE(SUM(e.w * a.x), 0.0) AS x
+  FROM hverts v
+  LEFT JOIN e0 e ON e.src = v.vid
+  LEFT JOIN a{i + 1} a ON a.vid = e.dst
+  GROUP BY v.vid
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH
+e0 AS ({_EDGES_SQL}),
+hverts AS (SELECT DISTINCT src AS vid FROM e0
+           UNION SELECT DISTINCT dst FROM e0),
+h0 AS (SELECT vid, 1.0 AS x FROM hverts),
+{chain},
+na AS (SELECT CASE WHEN SUM(x * x) > 0 THEN SQRT(SUM(x * x))
+              ELSE 1.0 END AS s FROM a{iters}),
+nh AS (SELECT CASE WHEN SUM(x * x) > 0 THEN SQRT(SUM(x * x))
+              ELSE 1.0 END AS s FROM h{iters})
+SELECT a.vid,
+       FLOOR(a.x / na.s * 1000000 + 0.5) / 1000000.0 AS auth,
+       FLOOR(h.x / nh.s * 1000000 + 0.5) / 1000000.0 AS hub
+FROM a{iters} a JOIN h{iters} h ON a.vid = h.vid, na, nh
 """
 
 
@@ -2029,6 +2082,7 @@ def oracle_sql() -> dict[str, str]:
         "local_degree_scores": _LOCAL_DEGREE_SQL,
         "topological_levels": _TOPO_LEVELS_SQL,
         "ppr_seed": _ppr_sql(1, 10, 0.15),
+        "hits_scores": _hits_sql(5),
         # minhash_dedup_groups / simhash_near_dups / fingerprints / anf_sketch
         # / corpus_* are not SQL-expressible (LSH banding, rolling hashes,
         # FM sketches, regex corpus extraction) -> rows-only checks;
