@@ -435,6 +435,143 @@ def q_graph_matching(sf_dir):
     return _round6(out, "w")
 
 
+def q_matching_check(sf_dir):
+    """Value-checkable slice of the matching contract (companion to the
+    rows-only graph_matching, same pattern as luby_check): counts of
+    (a) matched pairs that are not graph edges, (b) vertices in >1 matched
+    edge, (c) maximality violations (graph edges with BOTH endpoints
+    unmatched).  All three are invariants of ANY correct maximal matching;
+    the SQL oracle pins them to 0, so the hash gate fails unless the
+    returned matching is valid and maximal."""
+    from networkit_ray.pipelines.matching import local_max_matching
+    from networkit_ray.stages.graphops import canonicalize_undirected
+
+    canon = canonicalize_undirected(_edges(sf_dir), weight="max").materialize()
+    m = local_max_matching(canon, num_partitions=P).materialize()
+
+    ends = m.map_batches(
+        lambda t: pa.table(
+            {
+                "vid": pa.concat_arrays(
+                    [
+                        t["src"].combine_chunks().cast(pa.int64()),
+                        t["dst"].combine_chunks().cast(pa.int64()),
+                    ]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    percnt = ends.groupby("vid", num_partitions=P).count()
+    vertex_reuse = int(
+        percnt.map_batches(
+            lambda t: pa.table(
+                {
+                    "n": pa.array(
+                        [
+                            int(
+                                (
+                                    t["count()"]
+                                    .combine_chunks()
+                                    .to_numpy(zero_copy_only=False)
+                                    > 1
+                                ).sum()
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).sum("n")
+        or 0
+    )
+
+    flag = m.map_batches(
+        lambda t: pa.table(
+            {"src": t["src"], "dst": t["dst"], "in_m": pa.array(np.ones(t.num_rows, np.int8))}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    joined = canon.join(
+        flag,
+        join_type="left_outer",
+        num_partitions=P,
+        on=("src", "dst"),
+    ).materialize()
+    nonedges = int(m.count()) - int(
+        joined.map_batches(
+            lambda t: pa.table(
+                {
+                    "n": pa.array(
+                        [int(pc.sum(pc.is_valid(t["in_m"])).as_py() or 0)],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).sum("n")
+        or 0
+    )
+
+    mv = percnt.select_columns(["vid"]).map_batches(
+        lambda t: pa.table(
+            {"vid": t["vid"], "mm": pa.array(np.ones(t.num_rows, np.int8))}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    both = (
+        canon.join(mv, join_type="left_outer", num_partitions=P, on=("src",), right_on=("vid",))
+        .map_batches(
+            lambda t: pa.table({"dst": t["dst"], "mm_s": t["mm"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .join(mv, join_type="left_outer", num_partitions=P, on=("dst",), right_on=("vid",))
+    )
+    not_maximal = int(
+        both.map_batches(
+            lambda t: pa.table(
+                {
+                    "n": pa.array(
+                        [
+                            int(
+                                pc.sum(
+                                    pc.and_(
+                                        pc.is_null(t["mm_s"]), pc.is_null(t["mm"])
+                                    )
+                                ).as_py()
+                                or 0
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).sum("n")
+        or 0
+    )
+
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "nonedges": pa.array([nonedges], pa.int64()),
+                "not_maximal": pa.array([not_maximal], pa.int64()),
+                "vertex_reuse": pa.array([vertex_reuse], pa.int64()),
+            }
+        )
+    )
+
+
 def q_edge_switch_degrees(sf_dir):
     """Degree-preservation contract of the edge-switching null model: the
     randomized graph's per-vertex degrees must hash-equal the ORIGINAL
@@ -1118,6 +1255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "articulation_check": q_articulation_check,
         "gen_ws_ring": q_gen_ws_ring,
         "graph_matching": q_graph_matching,
+        "matching_check": q_matching_check,
         "louvain_quality": q_louvain_quality,
         "luby_check": q_luby_check,
         "maximal_cliques": q_maximal_cliques,
@@ -2067,6 +2205,13 @@ def oracle_sql() -> dict[str, str]:
         "luby_check": (
             "SELECT CAST(0 AS BIGINT) AS indep_violations,"
             " CAST(0 AS BIGINT) AS uncovered"
+        ),
+        # matching_check: same pattern — any correct maximal matching has
+        # zero invalid pairs, zero reused vertices, zero uncovered edges
+        "matching_check": (
+            "SELECT CAST(0 AS BIGINT) AS nonedges,"
+            " CAST(0 AS BIGINT) AS not_maximal,"
+            " CAST(0 AS BIGINT) AS vertex_reuse"
         ),
         "cliques_bipartite": _CLIQUES_BIPARTITE_SQL,
         "edge_switch_degrees": _EDGE_SWITCH_DEG_SQL.format(edges=_EDGES_SQL),
