@@ -1013,6 +1013,121 @@ def q_louvain_quality(sf_dir):
     )
 
 
+def q_leiden_check(sf_dir):
+    """Value-checkable slice of the Leiden contract (community/
+    ParallelLeiden): q_plp (recomputed exactly by the SQL oracle),
+    q_ge_plp = [modularity(leiden) >= modularity(PLP)] pinned to 1, and
+    disconnected_comms — the count of returned communities whose induced
+    subgraph is NOT connected — pinned to 0 (the Leiden guarantee; checked
+    distributed by running the engine's own CC over intra-community edges
+    and counting communities spanning >1 component)."""
+    from networkit_ray.pipelines.community import leiden, modularity
+    from networkit_ray.pipelines.components import connected_components
+    from networkit_ray.pipelines.labelprop import label_propagation
+    from networkit_ray.stages.graphops import canonicalize_undirected
+
+    edges = _edges(sf_dir)
+    lab = leiden(
+        edges, num_partitions=P, max_levels=2, move_rounds=2,
+        refine_rounds=2, colors=4,
+    ).materialize()
+    q_l = float(
+        modularity(edges, lab, num_partitions=P).to_pandas()["modularity"][0]
+    )
+    lab_p, _ = label_propagation(
+        edges, fixed_iters=PLP_ITERS, num_partitions=P, engine="actor"
+    )
+    q_p = float(
+        modularity(edges, lab_p, num_partitions=P).to_pandas()["modularity"][0]
+    )
+
+    # intra-community edges of the leiden labeling
+    canon = canonicalize_undirected(edges, weight="one").materialize()
+    lr = lab.map_batches(
+        lambda t: pa.table({"lvid": t["vid"], "lcomm": t["label"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    intra = (
+        canon.join(
+            lr, join_type="inner", num_partitions=P, on=("src",),
+            right_on=("lvid",),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {"src": t["src"], "dst": t["dst"], "w": t["w"], "cs": t["lcomm"]}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .join(
+            lr, join_type="inner", num_partitions=P, on=("dst",),
+            right_on=("lvid",),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {"src": t["src"], "dst": t["dst"], "w": t["w"]}
+            ).filter(pc.equal(t["cs"], t["lcomm"]).combine_chunks()),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    cc, _ = connected_components(
+        intra,
+        vertices_ds=lab.select_columns(["vid"]),
+        num_partitions=P,
+        engine="actor",
+    )
+    ccr = cc.map_batches(
+        lambda t: pa.table({"vid": t["vid"], "cclab": t["label"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pieces = (
+        lab.join(ccr, join_type="inner", num_partitions=P, on=("vid",))
+        .groupby(["label", "cclab"], num_partitions=P)
+        .count()
+        .groupby("label", num_partitions=P)
+        .count()
+    )
+    disconnected = int(
+        pieces.map_batches(
+            lambda t: pa.table(
+                {
+                    "n": pa.array(
+                        [
+                            int(
+                                (
+                                    t["count()"]
+                                    .combine_chunks()
+                                    .to_numpy(zero_copy_only=False)
+                                    > 1
+                                ).sum()
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).sum("n")
+        or 0
+    )
+
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "q_plp": pa.array([np.floor(q_p * 1e6 + 0.5) / 1e6]),
+                "q_ge_plp": pa.array([np.int64(1 if q_l >= q_p - 1e-9 else 0)]),
+                "disconnected_comms": pa.array([np.int64(disconnected)]),
+            }
+        )
+    )
+
+
 def q_luby_check(sf_dir):
     """Value-checkable slice of the Luby MIS contract: counts of
     independence violations (edges inside the set) and uncovered vertices
@@ -1257,6 +1372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_matching": q_graph_matching,
         "matching_check": q_matching_check,
         "louvain_quality": q_louvain_quality,
+        "leiden_check": q_leiden_check,
         "luby_check": q_luby_check,
         "maximal_cliques": q_maximal_cliques,
         "cliques_bipartite": q_cliques_bipartite,
@@ -2198,6 +2314,13 @@ def oracle_sql() -> dict[str, str]:
         # reaches PLP quality (labels themselves are algorithm-defined)
         "louvain_quality": (
             f"SELECT modularity AS q_plp, CAST(1 AS BIGINT) AS q_ge_plp "
+            f"FROM ({_modularity_sql(PLP_ITERS)})"
+        ),
+        # leiden_check: q_plp recomputed; quality flag pinned to 1 and the
+        # connectivity-violation count pinned to 0 (the Leiden guarantee)
+        "leiden_check": (
+            f"SELECT modularity AS q_plp, CAST(1 AS BIGINT) AS q_ge_plp,"
+            f" CAST(0 AS BIGINT) AS disconnected_comms "
             f"FROM ({_modularity_sql(PLP_ITERS)})"
         ),
         # luby_check: the oracle pins both violation counts to zero — the

@@ -303,11 +303,22 @@ def _volumes(canon, num_partitions):
     )
 
 
-def _move_round(sym_ds, vstate, W, num_partitions, min_gain, color_mod=1, color=0):
+def _move_round(
+    sym_ds,
+    vstate,
+    W,
+    num_partitions,
+    min_gain,
+    color_mod=1,
+    color=0,
+    eligible_ds=None,
+):
     """One synchronized local-moving (sub-)round.
 
     vstate = materialized (vid, comm, wd).  Returns new (vid, comm) labels:
-    each ELIGIBLE vertex (vid % color_mod == color) picks
+    each ELIGIBLE vertex (vid % color_mod == color, further intersected
+    with ``eligible_ds`` (vid) when given — a distributed semi-join, never
+    a driver-held set) picks
     argmax_C [ w(v,C) − wd(v)·(Σtot(C) − [C=C_v]·wd(v)) / (2W) ]
     over neighbor communities plus staying (stay score gets +min_gain so
     moves must strictly improve); ties break to the smaller community id;
@@ -328,9 +339,40 @@ def _move_round(sym_ds, vstate, W, num_partitions, min_gain, color_mod=1, color=
         vids = t[col].combine_chunks().to_numpy(zero_copy_only=False)
         return t.filter(pa.array(vids % color_mod == color))
 
+    sym_src = sym_ds
+    stay_base = vstate
+    if eligible_ds is not None:
+        eflag = eligible_ds.map_batches(
+            lambda t: pa.table({"evid": t["vid"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+        if eflag.count() == 0:
+            return _proj(vstate, {"vid": "vid", "comm": "comm"})
+        sym_src = _proj(
+            sym_ds.join(
+                eflag,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("src",),
+                right_on=("evid",),
+            ),
+            {"src": "src", "dst": "dst", "w": "w"},
+        )
+        stay_base = _proj(
+            vstate.join(
+                eflag,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("vid",),
+                right_on=("evid",),
+            ),
+            {"vid": "vid", "comm": "comm", "wd": "wd"},
+        ).materialize()
+
     # neighbor-community edge weights: attach dst's community; only
     # eligible movers generate candidate rows
-    elig_sym = sym_ds.map_batches(
+    elig_sym = sym_src.map_batches(
         lambda t: _eligible(t, "src"),
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -352,7 +394,7 @@ def _move_round(sym_ds, vstate, W, num_partitions, min_gain, color_mod=1, color=
     )
     # stay candidates: w(v, C_v) accumulates real neighbor weight via the
     # groupby; the zero row guarantees C_v is always a candidate
-    stay = vstate.map_batches(
+    stay = stay_base.map_batches(
         lambda t: _eligible(
             pa.table(
                 {
@@ -435,18 +477,48 @@ def _move_round(sym_ds, vstate, W, num_partitions, min_gain, color_mod=1, color=
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    if color_mod <= 1:
+    if color_mod <= 1 and eligible_ds is None:
         return moved
-    frozen = vstate.map_batches(
-        lambda t: pa.table({"vid": t["vid"], "comm": t["comm"]}).filter(
-            pa.array(
-                t["vid"].combine_chunks().to_numpy(zero_copy_only=False) % color_mod
-                != color
+    if eligible_ds is None:
+        frozen = vstate.map_batches(
+            lambda t: pa.table({"vid": t["vid"], "comm": t["comm"]}).filter(
+                pa.array(
+                    t["vid"].combine_chunks().to_numpy(zero_copy_only=False)
+                    % color_mod
+                    != color
+                )
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    else:
+        # complement of (eligible AND color-match), via the same semi-join
+        ef2 = eligible_ds.map_batches(
+            lambda t: pa.table(
+                {"evid": t["vid"], "ef": pa.array(np.ones(t.num_rows, np.int8))}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+
+        def keep_frozen(t: pa.Table) -> pa.Table:
+            vids = t["vid"].combine_chunks().to_numpy(zero_copy_only=False)
+            inel = pc.is_null(t["ef"]).combine_chunks().to_numpy(
+                zero_copy_only=False
             )
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+            if color_mod > 1:
+                inel = inel | (vids % color_mod != color)
+            return pa.table(
+                {"vid": t["vid"], "comm": t["comm"]}
+            ).filter(pa.array(inel))
+
+        frozen = vstate.join(
+            ef2,
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=("vid",),
+            right_on=("evid",),
+        ).map_batches(keep_frozen, batch_format="pyarrow", zero_copy_batch=True)
     return moved.union(frozen)
 
 
@@ -609,3 +681,259 @@ def louvain(
         ),
         {"vid": "vid", "label": "label"},
     )
+
+
+def leiden(
+    edges_ds,
+    num_partitions: int = 8,
+    max_levels: int = 3,
+    move_rounds: int = 4,
+    refine_rounds: int = 3,
+    min_gain: float = 1e-9,
+    colors: int = 4,
+):
+    """Distributed Leiden (reference community/ParallelLeiden; Traag et
+    al. 2019) -> Dataset(vid, label), label = min original member vid.
+
+    Louvain's level loop plus the two Leiden deltas:
+
+    1. REFINEMENT before each contraction: inside every moving-phase
+       community, restart from singletons and re-run local moving
+       restricted to intra-community edges, where only vertices that are
+       currently ALONE in their refined community may move (the
+       merge-once rule).  Refined communities therefore only ever grow by
+       attaching a singleton across a real edge — every refined community
+       induces a CONNECTED subgraph, the Leiden guarantee Louvain lacks
+       (the reference randomizes merge choice under a gamma bound; this
+       variant is the deterministic greedy argmax, consistent with the
+       PLM implementation above).
+    2. The aggregate graph is contracted by the REFINED partition while
+       the next level's moving phase starts from the MOVING partition
+       (each refined community inherits its parent community's label).
+
+    Every step is joins + pre-combined groupbys; eligibility (singleton
+    refined communities) is a distributed semi-join, so nothing vertex-
+    or edge-sized ever reaches the driver."""
+    from ray.data.aggregate import Min
+
+    from networkit_ray.stages.graphops import vertices_from_edges
+
+    canon = canonicalize_undirected(edges_ds, weight="sum").materialize()
+    canon_orig = canon
+    mapping = (
+        vertices_from_edges(canon)
+        .map_batches(
+            lambda t: pa.table({"vid": t["vid"], "comm": t["vid"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    if canon.count() == 0:
+        return _proj(mapping, {"vid": "vid", "label": "comm"})
+
+    init = None  # (vid, comm) aggregate-level starting partition
+    flat = None  # (vid, label) best flat partition so far
+    for _level in range(max_levels):
+        W = canon.sum("w") or 0.0
+        if W <= 0:
+            break
+        no_loops = canon.map_batches(
+            lambda t: t.filter(pc.not_equal(t["src"], t["dst"])),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        sym = symmetrize(no_loops).materialize()
+        wd = _volumes(canon, num_partitions).materialize()
+        if init is None:
+            labels = _proj(
+                wd, {"vid": "vid", "comm": "vid", "wd": "wd"}
+            ).materialize()
+        else:
+            labels = _proj(
+                init.join(
+                    wd, join_type="inner", num_partitions=num_partitions,
+                    on=("vid",),
+                ),
+                {"vid": "vid", "comm": "comm", "wd": "wd"},
+            ).materialize()
+        init_snapshot = _proj(labels, {"vid": "vid", "icomm": "comm"}).materialize()
+        if sym.count() == 0:
+            break
+
+        # ---- moving phase (identical to PLM) ----
+        for _r in range(move_rounds):
+            for color in range(colors):
+                new_labels = _move_round(
+                    sym, labels, W, num_partitions, min_gain,
+                    color_mod=colors, color=color,
+                )
+                labels = _proj(
+                    new_labels.join(
+                        wd, join_type="inner",
+                        num_partitions=num_partitions, on=("vid",),
+                    ),
+                    {"vid": "vid", "comm": "comm", "wd": "wd"},
+                ).materialize()
+        P = _proj(labels, {"vid": "vid", "pcomm": "comm"}).materialize()
+        flat = _proj(
+            mapping.join(
+                P, join_type="inner", num_partitions=num_partitions,
+                on=("comm",), right_on=("vid",),
+            ),
+            {"vid": "vid", "label": "pcomm"},
+        ).materialize()
+        moved = (
+            init_snapshot.join(
+                P, join_type="inner", num_partitions=num_partitions,
+                on=("vid",),
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "n": pa.array(
+                            [
+                                int(
+                                    pc.sum(
+                                        pc.cast(
+                                            pc.not_equal(t["icomm"], t["pcomm"]),
+                                            pa.int64(),
+                                        )
+                                    ).as_py()
+                                    or 0
+                                )
+                            ],
+                            pa.int64(),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .sum("n")
+        )
+        if not moved:
+            break
+
+        # ---- refinement: singletons, intra-community edges only,
+        # merge-once (only singleton refined communities may move) ----
+        sp = _proj(P, {"svid": "vid", "spc": "pcomm"}).materialize()
+        sym_intra = _proj(
+            _proj(
+                sym.join(
+                    sp, join_type="inner", num_partitions=num_partitions,
+                    on=("src",), right_on=("svid",),
+                ),
+                {"src": "src", "dst": "dst", "w": "w", "spc_s": "spc"},
+            ).join(
+                sp, join_type="inner", num_partitions=num_partitions,
+                on=("dst",), right_on=("svid",),
+            ),
+            {"src": "src", "dst": "dst", "w": "w", "spc_s": "spc_s", "spc_d": "spc"},
+        ).map_batches(
+            lambda t: pa.table(
+                {"src": t["src"], "dst": t["dst"], "w": t["w"]}
+            ).filter(pc.equal(t["spc_s"], t["spc_d"]).combine_chunks()),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+
+        rstate = _proj(wd, {"vid": "vid", "comm": "vid", "wd": "wd"}).materialize()
+        if sym_intra.count() > 0:
+            for _r in range(refine_rounds):
+                for color in range(colors):
+                    sizes = (
+                        _proj(rstate, {"comm": "comm"})
+                        .groupby("comm", num_partitions=num_partitions)
+                        .count()
+                    )
+                    singles = _proj(
+                        rstate.join(
+                            sizes, join_type="inner",
+                            num_partitions=num_partitions, on=("comm",),
+                        ),
+                        {"vid": "vid", "count()": "count()"},
+                    ).map_batches(
+                        lambda t: pa.table({"vid": t["vid"]}).filter(
+                            pc.equal(t["count()"], pa.scalar(1)).combine_chunks()
+                        ),
+                        batch_format="pyarrow",
+                        zero_copy_batch=True,
+                    ).materialize()
+                    new_r = _move_round(
+                        sym_intra, rstate, W, num_partitions, min_gain,
+                        color_mod=colors, color=color, eligible_ds=singles,
+                    )
+                    rstate = _proj(
+                        new_r.join(
+                            wd, join_type="inner",
+                            num_partitions=num_partitions, on=("vid",),
+                        ),
+                        {"vid": "vid", "comm": "comm", "wd": "wd"},
+                    ).materialize()
+        R = _proj(rstate, {"vid": "vid", "rcomm": "comm"}).materialize()
+
+        # compose mapping through the refined partition
+        mapping = _proj(
+            mapping.join(
+                R, join_type="inner", num_partitions=num_partitions,
+                on=("comm",), right_on=("vid",),
+            ),
+            {"vid": "vid", "comm": "rcomm"},
+        ).materialize()
+        # contract by refined labels; next level starts from the parent
+        # (moving-phase) community of each refined community
+        rlab = _proj(R, {"vid": "vid", "comm": "rcomm"}).materialize()
+        canon = _contract(canon, rlab, num_partitions).materialize()
+        init = (
+            _proj(
+                R.join(
+                    P, join_type="inner", num_partitions=num_partitions,
+                    on=("vid",),
+                ),
+                {"rcomm": "rcomm", "pcomm": "pcomm"},
+            )
+            .groupby("rcomm", num_partitions=num_partitions)
+            .aggregate(Min("pcomm", alias_name="comm"))
+        )
+        init = _proj(init, {"vid": "rcomm", "comm": "comm"}).materialize()
+
+    if flat is None:
+        flat = _proj(mapping, {"vid": "vid", "label": "comm"}).materialize()
+    # Leiden contract enforcement: with a FIXED sub-round budget the moving
+    # phase can strand a vertex in a community it no longer touches.  Split
+    # every community into its connected pieces via the engine's own CC
+    # over intra-community edges — splitting a disconnected community into
+    # edge-free parts strictly INCREASES modularity (ΔQ = 2·S_A·S_B/(4W²)),
+    # intra edges only connect same-label vertices so one global CC run
+    # splits all communities at once, and CC's hash-min labels are already
+    # the canonical min-member-vid labels.
+    from networkit_ray.pipelines.components import connected_components
+
+    fr = _proj(flat, {"fvid": "vid", "flab": "label"}).materialize()
+    intra = (
+        _proj(
+            canon_orig.join(
+                fr, join_type="inner", num_partitions=num_partitions,
+                on=("src",), right_on=("fvid",),
+            ),
+            {"src": "src", "dst": "dst", "w": "w", "flab_s": "flab"},
+        )
+        .join(
+            fr, join_type="inner", num_partitions=num_partitions,
+            on=("dst",), right_on=("fvid",),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {"src": t["src"], "dst": t["dst"], "w": t["w"]}
+            ).filter(pc.equal(t["flab_s"], t["flab"]).combine_chunks()),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    labels_final, _ = connected_components(
+        intra,
+        vertices_ds=flat.select_columns(["vid"]),
+        num_partitions=num_partitions,
+    )
+    return labels_final
