@@ -210,6 +210,40 @@ def q_dynamic_cc_replay(sf_dir):
     return labels
 
 
+def q_dynamic_bfs_replay(sf_dir):
+    """Incremental BFS depths under streaming inserts (reference
+    dynamics/DynBFS): the same 3 deterministic hash-batches replay through
+    DynamicBFS warm-start relaxation; the final depth table must equal the
+    batch-oblivious BFS (the recursive-CTE BFS SQL oracle)."""
+    from networkit_ray.pipelines.dynamic import DynamicBFS
+
+    edges = _edges(sf_dir).materialize()
+    src = int(vertices_from_edges_min(edges))
+    dyn = DynamicBFS([src], num_partitions=P)
+
+    def chunk(k):
+        def pick(t: pa.Table, _k=k) -> pa.Table:
+            s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            d = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+            import pandas as pd
+
+            h = pd.util.hash_array(s * np.int64(1000003) ^ d)
+            return t.filter(pa.array(h % 3 == _k))
+
+        return edges.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+    depths = None
+    for k in range(3):
+        depths, _rounds = dyn.update(chunk(k))
+    return depths
+
+
+def vertices_from_edges_min(edges):
+    from networkit_ray.stages.graphops import vertices_from_edges
+
+    return vertices_from_edges(edges).min("vid")
+
+
 def q_triangles(sf_dir):
     from networkit_ray.pipelines.triangles import triangle_counts
 
@@ -1330,6 +1364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_top20": q_pagerank_top20,
         "connected_components": q_connected_components,
         "dynamic_cc_replay": q_dynamic_cc_replay,
+        "dynamic_bfs_replay": q_dynamic_bfs_replay,
         "label_propagation": q_label_propagation,
         "triangle_counts": q_triangles,
         "degree_centrality": q_degree_centrality,
@@ -2284,6 +2319,7 @@ def oracle_sql() -> dict[str, str]:
         + " ORDER BY score DESC, vid ASC LIMIT 20",
         "connected_components": _CC_SQL,
         "dynamic_cc_replay": _CC_SQL,
+        "dynamic_bfs_replay": _BFS_SQL,
         "label_propagation": _plp_sql(PLP_ITERS),
         "triangle_counts": _TRIANGLES_SQL,
         "degree_centrality": _DEGREE_CENTRALITY_SQL,

@@ -250,8 +250,20 @@ def run_scaling():
 
     lo = int(os.environ.get("GRAFT_SCALE_CPUS_LO", "2"))
     hi = int(os.environ.get("GRAFT_SCALE_CPUS_HI", "8"))
-    r_lo = run(lo)
-    r_hi = run(hi)
+    # best-of-N legs with cooldowns: the sandbox VM shows nonzero CPU
+    # steal (virtualized host), which randomly inflates one leg and makes
+    # a single lo/hi pair meaningless; min-per-leg removes the transient
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
+
+    def best(ncpu):
+        rs = []
+        for _ in range(reps):
+            rs.append(run(ncpu))
+            time.sleep(10)
+        return min(rs, key=lambda r: r["iter_wall_s"])
+
+    r_lo = best(lo)
+    r_hi = best(hi)
     # steady-state criterion (BASELINE.md): per-iteration throughput ratio,
     # graph build reported separately via total wall
     eff_iter = (r_lo["iter_wall_s"] / r_hi["iter_wall_s"]) / (hi / lo)
@@ -269,6 +281,7 @@ def run_scaling():
                 "edges": r_lo.get("edges"),
                 "iters": r_lo["iters"],
                 "copies": SCALE_COPIES,
+                "reps_per_leg": reps,
                 "scaling_efficiency": round(eff_iter, 3),
                 "scaling_efficiency_total": round(eff_total, 3),
                 "pass": eff_iter >= 0.8,

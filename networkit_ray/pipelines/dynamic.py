@@ -118,3 +118,200 @@ class DynamicConnectedComponents:
             ),
         ).materialize()
         return self.labels
+
+
+class DynamicBFS:
+    """Incremental multi-source BFS depths under edge-insertion batches
+    (reference dynamics/DynBFS): under insertions depths only DECREASE, so
+    each update warm-starts relaxation from the current depth table instead
+    of re-running BFS from scratch.
+
+    Per ``update(batch)``:
+      - the batch is canonicalized/symmetrized and appended to the retained
+        distributed edge table (the adjacency is needed to propagate
+        improvements — unlike DynamicConnectedComponents, depths are not
+        contractible state),
+      - seed improvements = newly-seen source vertices (depth 0) plus batch
+        edges that bridge a reached endpoint to a cheaper depth,
+      - relaxation rounds run only until no depth improves: each round is
+        one frontier×edges co-partitioned join + a pre-combined min — the
+        number of rounds is bounded by the depth SHIFT the batch causes,
+        not by the graph eccentricity, which is the asymptotic win over
+        recompute.  (Each round still shuffles the frontier against the
+        retained edge table; on a real cluster the static side stays
+        hash-partitioned and only the frontier moves.)
+
+    ``labels()`` returns Dataset(vid, depth) over ALL seen vertices with
+    the bfs_depths convention depth = -1 for unreached.  The final table
+    equals the batch-oblivious ``bfs_depths`` of the union of all batches
+    (the driver's `dynamic_bfs_replay` query value-checks exactly that via
+    the recursive-CTE BFS SQL oracle).  Duplicate cross-batch edges are
+    retained (min-propagation is idempotent); deletions are out of scope,
+    as in the reference.
+    """
+
+    def __init__(self, sources, num_partitions: int = 8, max_rounds: int = 200):
+        from ray.data.aggregate import Min  # noqa: F401  (used below)
+
+        self.P = num_partitions
+        self.max_rounds = max_rounds
+        self.sources = np.unique(np.asarray(list(sources), dtype=np.int64))
+        self.sym = None     # retained symmetric edge table (src, dst)
+        self.depths = None  # (vid, depth) REACHED vertices only
+        self.verts = None   # (vid) all seen vertices
+
+    def _min_depth(self, ds):
+        from ray.data.aggregate import Min
+
+        return (
+            ds.groupby("vid", num_partitions=self.P)
+            .aggregate(Min("depth", alias_name="depth"))
+        )
+
+    def update(self, edges_ds):
+        import ray.data
+
+        from networkit_ray.stages.graphops import (
+            canonicalize_undirected,
+            symmetrize,
+        )
+
+        P = self.P
+        batch_sym = (
+            symmetrize(canonicalize_undirected(edges_ds, weight="one"))
+            .select_columns(["src", "dst"])
+            .materialize()
+        )
+        verts_new = vertices_from_edges(batch_sym).materialize()
+        self.verts = (
+            verts_new
+            if self.verts is None
+            else self.verts.union(verts_new)
+            .groupby("vid", num_partitions=P)
+            .count()
+            .select_columns(["vid"])
+            .materialize()
+        )
+        self.sym = (
+            batch_sym
+            if self.sym is None
+            else self.sym.union(batch_sym).materialize()
+        )
+
+        # seed improvements: sources among seen vertices at depth 0
+        srcs = self.sources
+
+        def seed(t: pa.Table) -> pa.Table:
+            v = t["vid"].combine_chunks().to_numpy(zero_copy_only=False)
+            hit = v[np.isin(v, srcs)]
+            return pa.table(
+                {
+                    "vid": hit,
+                    "depth": np.zeros(len(hit), dtype=np.int64),
+                }
+            )
+
+        frontier = _proj(self.verts, seed)
+        # bridge improvements: batch edges with a reached endpoint
+        if self.depths is not None:
+            bridged = _proj(
+                batch_sym.join(
+                    self.depths,
+                    join_type="inner",
+                    num_partitions=P,
+                    on=("src",),
+                    right_on=("vid",),
+                ),
+                lambda t: pa.table(
+                    {
+                        "vid": t["dst"],
+                        "depth": pc.add(t["depth"], pa.scalar(1, pa.int64())),
+                    }
+                ),
+            )
+            frontier = frontier.union(bridged)
+        frontier = self._improvements(self._min_depth(frontier)).materialize()
+
+        rounds = 0
+        while frontier.count() > 0 and rounds < self.max_rounds:
+            self.depths = (
+                frontier
+                if self.depths is None
+                else self._min_depth(self.depths.union(frontier)).materialize()
+            )
+            cand = _proj(
+                self.sym.join(
+                    frontier,
+                    join_type="inner",
+                    num_partitions=P,
+                    on=("src",),
+                    right_on=("vid",),
+                ),
+                lambda t: pa.table(
+                    {
+                        "vid": t["dst"],
+                        "depth": pc.add(t["depth"], pa.scalar(1, pa.int64())),
+                    }
+                ),
+            )
+            frontier = self._improvements(self._min_depth(cand)).materialize()
+            rounds += 1
+        if frontier.count() > 0:
+            raise RuntimeError(
+                f"DynamicBFS did not reach the relaxation fixpoint within "
+                f"max_rounds={self.max_rounds}; raise max_rounds (depths "
+                f"would be stale, not approximate)"
+            )
+        return self.labels(), rounds
+
+    def _improvements(self, cand):
+        """Rows of cand (vid, depth) strictly better than the current depth
+        table (or for unreached vids)."""
+        if self.depths is None:
+            return cand
+
+        cur = _proj(
+            self.depths, lambda t: pa.table({"vid": t["vid"], "cur": t["depth"]})
+        )
+        return _proj(
+            cand.join(cur, join_type="left_outer", num_partitions=self.P, on=("vid",)),
+            lambda t: pa.table({"vid": t["vid"], "depth": t["depth"]}).filter(
+                pc.or_kleene(
+                    pc.is_null(t["cur"]),
+                    pc.less(t["depth"], t["cur"]),
+                ).combine_chunks()
+            )
+            if "cur" in t.schema.names
+            else pa.table({"vid": t["vid"], "depth": t["depth"]}),
+        )
+
+    def labels(self):
+        """-> Dataset(vid, depth) over all seen vertices; unreached = -1."""
+        if self.depths is None:
+            return _proj(
+                self.verts,
+                lambda t: pa.table(
+                    {
+                        "vid": t["vid"],
+                        "depth": np.full(t.num_rows, -1, dtype=np.int64),
+                    }
+                ),
+            )
+        dr = _proj(
+            self.depths, lambda t: pa.table({"vid": t["vid"], "d": t["depth"]})
+        )
+        return _proj(
+            self.verts.join(
+                dr, join_type="left_outer", num_partitions=self.P, on=("vid",)
+            ),
+            lambda t: pa.table(
+                {
+                    "vid": t["vid"],
+                    "depth": pc.coalesce(
+                        pc.cast(t["d"], pa.int64()), pa.scalar(-1, pa.int64())
+                    )
+                    if "d" in t.schema.names
+                    else pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+                }
+            ),
+        )

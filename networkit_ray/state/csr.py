@@ -62,6 +62,7 @@ class CSRPartition:
         self.P = num_parts
         self._edge_chunks: list[pa.Table] = []
         self._vert_chunks: list[np.ndarray] = []
+        self._repl = None  # replicated-ingest params (scaled bench)
         self.owned = None  # sorted unique vids owned by this partition
 
     # ---- load phase -------------------------------------------------------
@@ -72,22 +73,54 @@ class CSRPartition:
         self._vert_chunks.append(np.asarray(vids, dtype=np.int64))
 
     def ingest_replicated(self, base: pa.Table, copies: int, offset: int):
-        """Generate this partition's slice of the K-times-replicated base
-        edge table locally (offset is a multiple of P, so the partition
-        mask is computed once on the base and reused per copy).  Avoids
-        pushing K x |base| rows through the object store during build —
-        the scaled-bench ingest path."""
+        """Store this partition's slice of the BASE edge table plus the
+        replication parameters (offset is a multiple of P, so the partition
+        mask is computed once on the base and holds for every copy; offset
+        also exceeds every base vid, so per-copy vid ranges are disjoint).
+        The K-times-replicated routes are then constructed ANALYTICALLY in
+        finalize_graph — per-copy routes are the base routes shifted by
+        k*offset, so nothing corpus-sized is ever gathered or re-hashed
+        (the naive path, 8 actors each factorizing K x |base|/P rows with
+        random gathers, was memory-subsystem-bound and stopped scaling
+        with cores on large K)."""
         src = _to_np(base["src"])
         dst = _to_np(base["dst"])
         w = _to_np(base["w"]).astype(np.float64)
         assert offset % self.P == 0
+        assert int(max(src.max(), dst.max())) < offset
         mask = _part(src, self.P) == self.pid
-        s0, d0, w0 = src[mask], dst[mask], w[mask]
-        for k in range(copies):
-            off = np.int64(k) * np.int64(offset)
-            self._edge_chunks.append(
-                pa.table({"src": s0 + off, "dst": d0 + off, "w": w0})
+        self._repl = (src[mask], dst[mask], w[mask], int(copies), int(offset))
+
+    def _finalize_replicated(self):
+        """Analytic route construction for the replicated ingest: factorize
+        ONLY the base slice, then broadcast-add the copy offsets (k-major
+        order, identical to concatenating the per-copy chunk tables)."""
+        import pandas as pd
+
+        s0, d0, w0, K, OFF = self._repl
+        self._repl = None
+        kK = np.arange(K, dtype=np.int64)
+        self._src = (s0[None, :] + (kK * OFF)[:, None]).ravel()
+        dpart0 = _part(d0, self.P)
+        self._route_raw = []
+        out_vids_all = []
+        for t_id in range(self.P):
+            pos = np.flatnonzero(dpart0 == t_id)
+            inv0, uniq0 = pd.factorize(d0[pos], sort=False)
+            uniq0 = np.asarray(uniq0, dtype=np.int64)
+            u = len(uniq0)
+            src_t = (s0[pos][None, :] + (kK * OFF)[:, None]).ravel()
+            w_t = np.tile(w0[pos], K)
+            inv_t = (
+                inv0.astype(np.int64)[None, :] + (kK * u)[:, None]
+            ).ravel()
+            self._route_raw.append((src_t, w_t, inv_t, u * K))
+            out_vids_all.append(
+                (uniq0[None, :] + (kK * OFF)[:, None]).ravel()
             )
+        if self.P == 1:
+            return out_vids_all[0]
+        return tuple(out_vids_all)
 
     def finalize_graph(self):
         """Group edges by destination partition; returns P out_vids arrays.
@@ -97,6 +130,8 @@ class CSRPartition:
         which learns of it from the incoming route vid arrays — so no
         explicit vertex table is required for correctness.
         """
+        if getattr(self, "_repl", None) is not None:
+            return self._finalize_replicated()
         if self._edge_chunks:
             t = pa.concat_tables(self._edge_chunks)
             src = _to_np(t["src"])

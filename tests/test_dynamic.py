@@ -82,3 +82,55 @@ def test_dynamic_cc_labels_stay_flat(ray_session):
         t = dyn.update(b).to_pandas()
     roots = set(t.loc[t["vid"] == t["label"], "vid"])
     assert set(t["label"]).issubset(roots)
+
+
+from networkit_ray.pipelines.dynamic import DynamicBFS
+
+
+@pytest.mark.parametrize("name", ["multicomp", "karate"])
+def test_dynamic_bfs_replay_equals_recompute(ray_session, name):
+    """After each insertion batch the depth table equals a from-scratch
+    BFS on the union of batches (unreached = -1)."""
+    G = fixture_graph(name)
+    Gn = nx.Graph(G)
+    Gn.remove_nodes_from(list(nx.isolates(Gn)))
+    src = min(int(v) for v in Gn.nodes)
+    dyn = DynamicBFS([src], num_partitions=4)
+    seen = nx.Graph()
+    for batch in _batches_of(Gn, 3, seed=11):
+        pdf = batch.to_pandas()
+        seen.add_edges_from(zip(pdf["src"].astype(int), pdf["dst"].astype(int)))
+        got, rounds = dyn.update(batch)
+        gd = got.to_pandas().set_index("vid")["depth"].astype(int).to_dict()
+        want = (
+            nx.single_source_shortest_path_length(seen, src)
+            if src in seen
+            else {}
+        )
+        assert set(gd) == set(int(v) for v in seen.nodes)
+        for v in seen.nodes:
+            assert gd[int(v)] == want.get(int(v), -1), (int(v), rounds)
+
+
+def test_dynamic_bfs_warm_start_rounds(ray_session):
+    """A batch that shifts no depths costs zero relaxation rounds beyond
+    the bridge check; one that shortens paths costs ~shift rounds."""
+    # path 0-1-2-3-4-5 inserted whole, then a shortcut 0-5
+    def eb(pairs):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([u for u, _ in pairs], pa.int64()),
+                    "dst": pa.array([v for _, v in pairs], pa.int64()),
+                    "w": pa.array([1.0] * len(pairs)),
+                }
+            )
+        )
+
+    dyn = DynamicBFS([0], num_partitions=2)
+    _, r1 = dyn.update(eb([(i, i + 1) for i in range(5)]))
+    assert r1 >= 5  # cold BFS along the path
+    got, r2 = dyn.update(eb([(0, 5)]))
+    gd = got.to_pandas().set_index("vid")["depth"].astype(int).to_dict()
+    assert gd == {0: 0, 1: 1, 2: 2, 3: 3, 4: 2, 5: 1}
+    assert r2 <= 3, r2  # only the shifted suffix relaxes

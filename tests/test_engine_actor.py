@@ -104,3 +104,59 @@ def test_actor_plp(fixed_iters, ray_session):
         edges, set(int(v) for v in G.nodes), fixed_iters=fixed_iters
     )
     assert got == want
+
+
+def test_from_replicated_matches_explicit_concat(ray_session):
+    """The analytic replicated build (base routes + k*offset) must produce
+    bit-identical PageRank scores to feeding the explicitly concatenated
+    K-copy edge table through the regular ingest path."""
+    import pyarrow as pa
+    import ray.data
+
+    from networkit_ray.state.csr import BSPGraph
+
+    G = fixture_graph("karate")
+    base = pa.table(
+        {
+            "src": pa.array([int(u) for u, v in G.edges()], pa.int64()),
+            "dst": pa.array([int(v) for u, v in G.edges()], pa.int64()),
+            "w": pa.array([1.0] * G.number_of_edges()),
+        }
+    )
+    K, OFF, P = 3, 64, 2
+    g1 = BSPGraph.from_replicated(base, K, OFF, P, actor_num_cpus=0.1)
+    try:
+        s1, it1 = g1.pagerank(fixed_iters=12)
+        df1 = s1.to_pandas().sort_values("vid").reset_index(drop=True)
+    finally:
+        g1.shutdown()
+
+    import numpy as np
+
+    src = np.concatenate(
+        [base["src"].to_numpy() + k * OFF for k in range(K)]
+    )
+    dst = np.concatenate(
+        [base["dst"].to_numpy() + k * OFF for k in range(K)]
+    )
+    full = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "w": pa.array(np.ones(len(src))),
+            }
+        )
+    )
+    g2 = BSPGraph(full, num_partitions=P, actor_num_cpus=0.1)
+    try:
+        s2, it2 = g2.pagerank(fixed_iters=12)
+        df2 = s2.to_pandas().sort_values("vid").reset_index(drop=True)
+    finally:
+        g2.shutdown()
+
+    assert it1 == it2
+    assert (df1["vid"].to_numpy() == df2["vid"].to_numpy()).all()
+    np.testing.assert_array_equal(
+        df1["score"].to_numpy(), df2["score"].to_numpy()
+    )
