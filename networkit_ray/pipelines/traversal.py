@@ -239,6 +239,184 @@ def approx_betweenness(
     return out
 
 
+def betweenness_exact(
+    edges_ds,
+    vertices_ds=None,
+    num_partitions: int = 8,
+    undirected: bool = True,
+    batch: int = 64,
+    normalized: bool = False,
+):
+    """Exact Brandes betweenness over ALL sources (reference
+    centrality/Betweenness; SURVEY.md §2.3) -> Dataset(vid, betweenness).
+
+    Runs the BSP Brandes kernel in batched source waves (``batch``
+    simultaneous sources share each forward/backward round as (n, S)
+    matrix state), so the exact computation costs ceil(n/batch) * 2*ecc
+    BSP rounds — the scale knob is the wave width, not the source count.
+    Undirected graphs halve the directed-path sums (each unordered pair
+    contributes s->t and t->s), matching networkx
+    betweenness_centrality(normalized=False).  ``normalized`` applies the
+    standard 1/((n-1)(n-2)) pair normalization."""
+    import pyarrow.compute as _pc
+
+    if vertices_ds is None:
+        vertices_ds = vertices_from_edges(edges_ds)
+    verts = vertices_ds.select_columns(["vid"]).materialize()
+    n = verts.count()
+    g = _graph(edges_ds, verts, num_partitions, undirected, dedupe=True)
+    try:
+        out = g.betweenness_exact(batch=batch)
+    finally:
+        g.shutdown()
+    scale = 1.0
+    if undirected:
+        scale *= 0.5
+    if normalized and n > 2:
+        scale /= (n - 1) * (n - 2) / (2.0 if undirected else 1.0)
+    if scale != 1.0:
+        out = out.map_batches(
+            lambda t: pa.table(
+                {
+                    "vid": t["vid"],
+                    "betweenness": _pc.multiply(t["betweenness"], scale),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    return out
+
+
+def top_closeness(
+    edges_ds,
+    k: int = 10,
+    vertices_ds=None,
+    num_partitions: int = 8,
+    undirected: bool = True,
+    batch: int = 64,
+    prune: bool = True,
+):
+    """Top-k exact closeness (reference centrality/TopCloseness):
+    candidates are processed in DECREASING degree-based upper-bound order
+    (farness(v) >= deg(v) + 2*(n - 1 - deg(v)) on a connected graph, the
+    NetworKit level-1 bound) in batched BFS waves; once the k-th best
+    exact closeness meets or beats the next candidate's bound, the rest
+    are pruned without running their BFS.  The bound is only valid on
+    connected graphs, so pruning self-disables the moment any processed
+    BFS fails to reach all n vertices (exhaustive fallback — exactness is
+    never at risk).  -> Dataset(vid, closeness) of the k best (ties ->
+    smaller vid), closeness(s) = (reached-1)/farness(s)."""
+    import heapq
+
+    import ray.data
+
+    if vertices_ds is None:
+        vertices_ds = vertices_from_edges(edges_ds)
+    verts = vertices_ds.select_columns(["vid"]).materialize()
+    n = verts.count()
+    # undirected degrees, for the processing order + bound
+    deg_tbl = (
+        symmetrize(canonicalize_undirected(edges_ds, weight="one"))
+        .groupby("src", num_partitions=num_partitions)
+        .count()
+        .to_pandas()
+    )
+    degs = dict(zip(deg_tbl["src"].astype(np.int64), deg_tbl["count()"]))
+    vids = np.sort(
+        verts.to_pandas()["vid"].to_numpy(np.int64)
+    )
+    dv = np.array([degs.get(int(v), 0) for v in vids], dtype=np.int64)
+    farness_lb = dv + 2 * (n - 1 - dv)
+    with np.errstate(divide="ignore"):
+        ub = np.where(farness_lb > 0, (n - 1) / farness_lb, np.inf)
+    order = np.lexsort((vids, -ub))  # bound desc, vid asc
+    g = _graph(edges_ds, verts, num_partitions, undirected)
+    heap: list = []  # (closeness, -vid) min-heap of current top-k
+    pruning = prune
+    processed = 0
+    try:
+        i = 0
+        while i < len(order):
+            if pruning and len(heap) >= k and heap[0][0] >= ub[order[i]] - 1e-15:
+                break  # every remaining candidate is bounded out
+            wave_idx = order[i : i + batch]
+            wave = vids[wave_idx]
+            sumd, reach, _inv = g.farness_batched(wave)
+            processed += len(wave)
+            if pruning and (reach < n).any():
+                pruning = False  # disconnected: the bound is invalid
+            clo = np.where(sumd > 0, (reach - 1) / np.maximum(sumd, 1), 0.0)
+            for v, c in zip(wave, clo):
+                item = (float(c), -int(v))
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+            i += batch
+    finally:
+        g.shutdown()
+    top = sorted(heap, reverse=True)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": np.array([-t[1] for t in top], dtype=np.int64),
+                "closeness": np.array([t[0] for t in top], dtype=np.float64),
+            }
+        )
+    )
+
+
+def hop_plot(
+    edges_ds,
+    vertices_ds=None,
+    num_partitions: int = 8,
+    undirected: bool = True,
+    batch: int = 64,
+    max_d: int = 256,
+    q: float = 0.9,
+):
+    """EXACT neighborhood function / hop plot + effective diameter
+    (reference distance/EffectiveDiameter + HopPlotApproximation, exact
+    mode): batched multi-source BFS waves accumulate the global histogram
+    of pairwise distances; N(h) = # ordered pairs (u, v), u != v, with
+    d(u,v) <= h.  effective_diameter = min h with N(h) >= q * N(inf).
+    For graphs too large for exact all-sources, use
+    ``neighborhood_function`` (the ANF sketch) instead — same output
+    shape, FM error bounds.  -> (Dataset(t, pairs, cum_pairs,
+    effective_diameter), effective_diameter)."""
+    import ray.data
+
+    g = _graph(edges_ds, vertices_ds, num_partitions, undirected)
+    try:
+        hist = g.depth_histogram(batch=batch, max_d=max_d)
+    finally:
+        g.shutdown()
+    # drop d=0 (self pairs); trim trailing zeros
+    pairs = hist[1:]
+    nz = np.flatnonzero(pairs)
+    t_max = int(nz[-1]) + 1 if len(nz) else 1
+    pairs = pairs[:t_max]
+    cum = np.cumsum(pairs)
+    total = int(cum[-1]) if len(cum) else 0
+    eff = t_max
+    for t, c in enumerate(cum, start=1):
+        if total > 0 and c >= q * total:
+            eff = t
+            break
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "t": np.arange(1, t_max + 1, dtype=np.int64),
+                "pairs": pairs.astype(np.int64),
+                "cum_pairs": cum.astype(np.int64),
+                "effective_diameter": np.full(t_max, eff, dtype=np.int64),
+            }
+        )
+    )
+    return ds, eff
+
+
 def diameter_bounds(
     edges_ds,
     vertices_ds=None,

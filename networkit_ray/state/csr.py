@@ -661,6 +661,158 @@ class CSRPartition:
     def btw_table(self, scale: float = 1.0) -> pa.Table:
         return pa.table({"vid": self.owned, "betweenness": self.btw * scale})
 
+    # ---- batched multi-source BFS / Brandes (wave kernels) -----------------
+    # One forward pass serves S sources simultaneously: per-vertex state is
+    # (n_owned, S) matrices, per-round messages are (n_out, S) pre-combined
+    # matrices per partition pair — rounds per wave = eccentricity, waves =
+    # ceil(|sources|/S), so exact all-sources algorithms (Brandes
+    # betweenness, closeness, the exact neighborhood function) cost
+    # O(n/S * diameter) BSP rounds instead of O(n * diameter).  Per-route
+    # segment sums run vectorized across all S columns via a static
+    # out_idx-sorted reduceat plan.  Choose S so route_len x S floats fit
+    # the worker heap (default 64).
+
+    def _ms_route_aux(self):
+        if not hasattr(self, "_ms_aux"):
+            aux = []
+            for src_local, _w, out_idx, n_out in self.route:
+                if n_out == 0 or len(out_idx) == 0:
+                    aux.append(None)
+                    continue
+                order = np.argsort(out_idx, kind="stable")
+                sorted_idx = out_idx[order]
+                starts = np.flatnonzero(
+                    np.r_[True, sorted_idx[1:] != sorted_idx[:-1]]
+                )
+                touched = sorted_idx[starts]
+                aux.append((src_local[order], starts, touched))
+            self._ms_aux = aux
+        return self._ms_aux
+
+    def ms_init(self, sources, with_sigma: bool) -> int:
+        sources = np.asarray(sources, dtype=np.int64)
+        S = len(sources)
+        self._ms_S = S
+        self._ms_sigma_on = bool(with_sigma)
+        n = self.n_owned
+        self.ms_depth = np.full((n, S), -1, dtype=np.int32)
+        self.ms_sigma = (
+            np.zeros((n, S), dtype=np.float64) if with_sigma else None
+        )
+        self.ms_delta = (
+            np.zeros((n, S), dtype=np.float64) if with_sigma else None
+        )
+        self._ms_round = 0
+        if n and S:
+            pos = np.minimum(np.searchsorted(self.owned, sources), n - 1)
+            hit = self.owned[pos] == sources
+            rows, cols = pos[hit], np.flatnonzero(hit)
+            self.ms_depth[rows, cols] = 0
+            if with_sigma:
+                self.ms_sigma[rows, cols] = 1.0
+            self._ms_srcpos = (rows, cols)
+        else:
+            self._ms_srcpos = (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64),
+            )
+        self._ms_route_aux()
+        return int(len(self._ms_srcpos[0]))
+
+    def _ms_segmented(self, coef):
+        """Per-route segment sums of the (n_owned, S) coefficient matrix
+        along out-edges -> one (n_out, S) matrix per target."""
+        out = []
+        for aux, (_sl, _w, _oi, n_out) in zip(self._ms_aux, self.route):
+            if aux is None:
+                out.append(np.zeros((0, self._ms_S), dtype=np.float64))
+                continue
+            src_sorted, starts, touched = aux
+            seg = np.add.reduceat(coef[src_sorted], starts, axis=0)
+            m = np.zeros((n_out, self._ms_S), dtype=np.float64)
+            m[touched] = seg
+            out.append(m)
+        return out[0] if self.P == 1 else tuple(out)
+
+    def ms_forward_messages(self):
+        """Frontier columns (depth == current round) send sigma (or a 1.0
+        reach indicator when sigma is off) along out-edges."""
+        active = self.ms_depth == self._ms_round
+        if self._ms_sigma_on:
+            coef = self.ms_sigma * active
+        else:
+            coef = active.astype(np.float64)
+        return self._ms_segmented(coef)
+
+    def ms_forward_apply(self, *msgs) -> int:
+        self._ms_round += 1
+        incoming = np.zeros((self.n_owned, self._ms_S), dtype=np.float64)
+        for s, m in enumerate(msgs):
+            if len(m):
+                incoming[self.in_idx[s]] += m
+        newly = (self.ms_depth < 0) & (incoming > 0)
+        self.ms_depth[newly] = self._ms_round
+        if self._ms_sigma_on:
+            self.ms_sigma[newly] = incoming[newly]
+        return int(newly.sum())
+
+    def ms_backward_messages(self, d: int):
+        """Columns at depth d send (1+delta)/sigma along (symmetric)
+        out-edges; only depth d-1 receivers accept in apply."""
+        coef = np.zeros_like(self.ms_sigma)
+        at_d = self.ms_depth == d
+        np.divide(
+            1.0 + self.ms_delta,
+            self.ms_sigma,
+            out=coef,
+            where=at_d & (self.ms_sigma > 0),
+        )
+        return self._ms_segmented(coef)
+
+    def ms_backward_apply(self, d: int, *msgs) -> None:
+        incoming = np.zeros((self.n_owned, self._ms_S), dtype=np.float64)
+        for s, m in enumerate(msgs):
+            if len(m):
+                incoming[self.in_idx[s]] += m
+        takers = self.ms_depth == d - 1
+        self.ms_delta[takers] += (self.ms_sigma * incoming)[takers]
+
+    def ms_accumulate(self) -> None:
+        """Fold this wave's per-source dependencies into the betweenness
+        totals (each source's own cell excluded, per Brandes)."""
+        add = self.ms_delta.copy()
+        rows, cols = self._ms_srcpos
+        add[rows, cols] = 0.0
+        if not hasattr(self, "btw") or self.btw is None or len(self.btw) != self.n_owned:
+            self.btw = np.zeros(self.n_owned, dtype=np.float64)
+        self.btw += add.sum(axis=1)
+
+    def ms_farness_part(self):
+        """Per-source-column (sum of finite depths, reached count, sum of
+        reciprocal positive depths) over owned rows — closeness + harmonic
+        numerators, summed across partitions by the driver."""
+        reach = self.ms_depth >= 0
+        d = np.where(reach, self.ms_depth, 0)
+        pos = self.ms_depth > 0
+        with np.errstate(divide="ignore"):
+            inv = np.where(pos, 1.0 / np.maximum(self.ms_depth, 1), 0.0)
+        return (
+            d.sum(axis=0).astype(np.float64),
+            reach.sum(axis=0).astype(np.int64),
+            inv.sum(axis=0).astype(np.float64),
+        )
+
+    def ms_depth_hist(self, max_d: int):
+        """Histogram of finite depths over owned rows x source columns —
+        the exact per-wave contribution to the neighborhood function."""
+        d = self.ms_depth[self.ms_depth >= 0]
+        return np.bincount(
+            np.minimum(d, max_d), minlength=max_d + 1
+        ).astype(np.int64)
+
+    def owned_vids(self) -> np.ndarray:
+        return self.owned
+
     # ---- ANF / Flajolet-Martin neighborhood sketch ------------------------
     def anf_init(self, registers: int, seed: int) -> float:
         """Per-vertex FM bitmasks: register r of vertex v sets bit index =
@@ -1296,6 +1448,90 @@ class BSPGraph:
         if stats is not None:
             stats.setdefault("iter_wall_s", []).append(time.perf_counter() - t0)
         return self._collect("btw_table")
+
+    # ---- batched multi-source wave drivers ----------------------------------
+    def _ms_exchange(self, msg_method, apply_method, *args):
+        P, actors = self.P, self.actors
+        if P == 1:
+            msg_refs = [[getattr(actors[0], msg_method).remote(*args)]]
+        else:
+            msg_refs = [
+                list(getattr(a, msg_method).options(num_returns=P).remote(*args))
+                for a in actors
+            ]
+        return ray.get(
+            [
+                getattr(actors[t], apply_method).remote(
+                    *args, *[msg_refs[s][t] for s in range(P)]
+                )
+                for t in range(P)
+            ]
+        )
+
+    def ms_forward(self, sources, with_sigma: bool) -> int:
+        """Run one batched multi-source forward BFS wave to exhaustion;
+        returns the max depth reached (eccentricity of the wave)."""
+        sources = np.asarray(sources, dtype=np.int64)
+        ray.get(
+            [a.ms_init.remote(sources, with_sigma) for a in self.actors]
+        )
+        maxd = 0
+        while True:
+            newly = sum(
+                self._ms_exchange("ms_forward_messages", "ms_forward_apply")
+            )
+            if newly == 0:
+                break
+            maxd += 1
+        return maxd
+
+    def all_vids(self) -> np.ndarray:
+        return np.sort(
+            np.concatenate(ray.get([a.owned_vids.remote() for a in self.actors]))
+        )
+
+    def betweenness_exact(self, sources=None, batch: int = 64, stats=None):
+        """Exact Brandes betweenness over ALL vertices (or the given
+        sources) in waves of ``batch`` simultaneous sources — the batched
+        source waves make exact betweenness ceil(n/batch)*2*ecc BSP rounds.
+        Returns Dataset(vid, betweenness) with raw directed-path sums
+        (caller halves for undirected)."""
+        ray.get([a.bc_reset_accum.remote() for a in self.actors])
+        vids = self.all_vids() if sources is None else np.asarray(sources, np.int64)
+        t0 = time.perf_counter()
+        for i in range(0, len(vids), batch):
+            wave = vids[i : i + batch]
+            maxd = self.ms_forward(wave, with_sigma=True)
+            for d in range(maxd, 0, -1):
+                self._ms_exchange("ms_backward_messages", "ms_backward_apply", d)
+            ray.get([a.ms_accumulate.remote() for a in self.actors])
+        if stats is not None:
+            stats.setdefault("iter_wall_s", []).append(time.perf_counter() - t0)
+        return self._collect("btw_table")
+
+    def farness_batched(self, sources):
+        """(sum_depth, reached, sum_reciprocal) arrays per source (exact,
+        one batched BFS wave)."""
+        self.ms_forward(sources, with_sigma=False)
+        parts = ray.get([a.ms_farness_part.remote() for a in self.actors])
+        sumd = np.sum([p[0] for p in parts], axis=0)
+        reach = np.sum([p[1] for p in parts], axis=0)
+        inv = np.sum([p[2] for p in parts], axis=0)
+        return sumd, reach, inv
+
+    def depth_histogram(self, batch: int = 64, max_d: int = 256) -> np.ndarray:
+        """Exact counts of ordered vertex pairs at each distance d=0..max_d
+        (d=0 rows are the self-pairs) — the exact neighborhood function,
+        via batched multi-source BFS waves over all vertices."""
+        vids = self.all_vids()
+        hist = np.zeros(max_d + 1, dtype=np.int64)
+        for i in range(0, len(vids), batch):
+            self.ms_forward(vids[i : i + batch], with_sigma=False)
+            hist += np.sum(
+                ray.get([a.ms_depth_hist.remote(max_d) for a in self.actors]),
+                axis=0,
+            )
+        return hist
 
     # ---- ANF neighborhood-function sketch ---------------------------------
     def anf(self, max_dist=8, registers=64, seed=42):

@@ -1,0 +1,92 @@
+"""Exact all-sources traversal family: Brandes betweenness (batched source
+waves), TopCloseness (degree-bound pruning), exact hop plot / effective
+diameter.  Oracles: networkx exact values (FIXTURES.md §2)."""
+
+import networkx as nx
+import numpy as np
+import pytest
+import ray.data
+
+from conftest import fixture_graph, nx_to_edges_table
+
+from networkit_ray.pipelines.traversal import (
+    betweenness_exact,
+    hop_plot,
+    top_closeness,
+)
+
+
+def _closeness_raw(G):
+    """(reached-1)/farness — the engine's (and NetworKit's) per-component
+    closeness, NOT networkx's wf_improved default."""
+    out = {}
+    for v in G.nodes:
+        dl = nx.single_source_shortest_path_length(G, v)
+        sd = sum(dl.values())
+        out[v] = (len(dl) - 1) / sd if sd > 0 else 0.0
+    return out
+
+
+@pytest.mark.parametrize("name", ["karate", "ba300", "multicomp"])
+def test_betweenness_exact_networkx(ray_session, name):
+    G = fixture_graph(name)
+    eds = ray.data.from_arrow(nx_to_edges_table(G))
+    got = betweenness_exact(eds, num_partitions=3, batch=17).to_pandas()
+    gd = dict(zip(got["vid"].astype(int), got["betweenness"]))
+    want = nx.betweenness_centrality(G, normalized=False)
+    assert max(abs(gd.get(v, 0.0) - want[v]) for v in G.nodes) < 1e-9
+
+
+def test_betweenness_exact_batch_invariance(ray_session):
+    G = fixture_graph("karate")
+    eds = ray.data.from_arrow(nx_to_edges_table(G))
+    a = betweenness_exact(eds, num_partitions=2, batch=5).to_pandas()
+    b = betweenness_exact(eds, num_partitions=4, batch=64).to_pandas()
+    da = dict(zip(a["vid"].astype(int), a["betweenness"]))
+    db = dict(zip(b["vid"].astype(int), b["betweenness"]))
+    assert max(abs(da[v] - db[v]) for v in da) < 1e-9
+
+
+@pytest.mark.parametrize("name,k", [("karate", 5), ("ba300", 10), ("multicomp", 8)])
+def test_top_closeness_networkx(ray_session, name, k):
+    G = fixture_graph(name)
+    eds = ray.data.from_arrow(nx_to_edges_table(G))
+    got = top_closeness(eds, k=k, num_partitions=3, batch=13).to_pandas()
+    want_c = _closeness_raw(G)
+    want = sorted(want_c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    got_pairs = [
+        (int(v), round(c, 10))
+        for v, c in zip(got["vid"], got["closeness"])
+    ]
+    assert got_pairs == [(v, round(c, 10)) for v, c in want]
+
+
+def test_top_closeness_prune_matches_exhaustive(ray_session):
+    """The degree-bound pruning must never change the answer (connected
+    fixture: pruning stays active end-to-end)."""
+    G = fixture_graph("ba300")
+    eds = ray.data.from_arrow(nx_to_edges_table(G))
+    a = top_closeness(eds, k=10, num_partitions=3, prune=True).to_pandas()
+    b = top_closeness(eds, k=10, num_partitions=3, prune=False).to_pandas()
+    assert list(a["vid"]) == list(b["vid"])
+    assert np.allclose(a["closeness"], b["closeness"])
+
+
+@pytest.mark.parametrize("name", ["karate", "path100", "multicomp"])
+def test_hop_plot_exact(ray_session, name):
+    G = fixture_graph(name)
+    eds = ray.data.from_arrow(nx_to_edges_table(G))
+    ds, eff = hop_plot(eds, num_partitions=3, batch=29)
+    hp = ds.to_pandas()
+    hist: dict = {}
+    for v in G.nodes:
+        for _u, d in nx.single_source_shortest_path_length(G, v).items():
+            if d > 0:
+                hist[d] = hist.get(d, 0) + 1
+    want = [hist.get(t, 0) for t in range(1, int(hp["t"].max()) + 1)]
+    assert list(hp["pairs"]) == want
+    total = sum(want)
+    cum = np.cumsum(want)
+    want_eff = int(np.argmax(cum >= 0.9 * total)) + 1
+    assert eff == want_eff
+    assert (hp["effective_diameter"] == eff).all()
