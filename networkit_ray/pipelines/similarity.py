@@ -4,8 +4,10 @@
   broadcast (ray.put) query matrix.  The verifiable baseline; shuffle-free
   (queries are broadcast once per actor, never re-shipped per batch).
 - ``knn_ivf``: IVF-style scale path — deterministic coarse centroids, each
-  vector assigned to its nearest centroid (one matmul pass), queries probe
-  only the ``nprobe`` nearest centroid buckets.  Recall < 1 by design;
+  vector assigned to its nearest centroid (one matmul pass), ONE shuffle
+  co-locates each bucket, and queries are joined only to the ``nprobe``
+  buckets they probe (one matmul per bucket x query-group — a vector is
+  never scanned by queries outside its bucket).  Recall < 1 by design;
   tested against brute force for recall@k.
 - ``cosine_near_dup_pairs``: all vector pairs with cosine >= threshold
   (a < b) — blocked matmul against the broadcast normalized matrix.
@@ -176,49 +178,73 @@ def knn_ivf(
     # deterministic (centroid index ascending), matching the SQL oracle's
     # ROW_NUMBER() OVER (ORDER BY sim DESC, cidx ASC)
     probes = np.argsort(-(qn @ cent.T), axis=1, kind="stable")[:, :nprobe]
-    ref = ray.put((q_ids, qn, cent, probes))
+    cent_ref = ray.put(cent)
+    q_ref = ray.put((q_ids, qn, probes))
 
-    class Score:
-        def __init__(self):
-            self.q_ids, self.q, self.cent, self.probes = ray.get(ref)
+    # Bucket-routed plan (the IVF scale shape): one assignment pass adds the
+    # bucket key, ONE shuffle co-locates each bucket, and scoring is a
+    # single (n_bucket x d) @ (d x q_bucket) matmul per (bucket,
+    # query-group) — each corpus vector is touched by exactly the queries
+    # that probe its bucket (~nprobe/num_centroids of the query set), never
+    # by every query per batch.  The query side is ray.put-broadcast here
+    # (small); at a real 100-TB query load, swap the broadcast for a
+    # bucket-key co-partitioned join of the exploded (bucket, query) table.
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_emb_matrix(batch, col))
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            assign = np.argmax(m @ self.cent.T, axis=1)  # bucket per vector
-            out = []
-            for qi in range(len(self.q_ids)):
-                mask = np.isin(assign, self.probes[qi])
-                if not mask.any():
-                    continue
-                sub = m[mask]
-                sub_ids = ids[mask]
-                sims = sub @ self.q[qi]
-                kk = min(k, len(sims))
-                part = np.argpartition(-sims, kk - 1)[:kk]
-                order = np.lexsort((sub_ids[part], -sims[part]))
-                sel = part[order]
-                out.append(
-                    pa.table(
-                        {
-                            "query_id": np.full(kk, self.q_ids[qi], dtype=np.int64),
-                            "vec_id": sub_ids[sel].astype(np.int64),
-                            "sim": sims[sel],
-                        }
-                    )
-                )
-            if not out:
-                return pa.table(
+    def assign_fn(batch: pa.Table) -> pa.Table:
+        cent_l = ray.get(cent_ref)
+        m = _normalize(_emb_matrix(batch, col))
+        assign = np.argmax(m @ cent_l.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                col: batch[col],
+                "bucket": pa.array(assign),
+            }
+        )
+
+    assigned = emb_ds.map_batches(
+        assign_fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def score_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "sim": pa.array([], type=pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        b = t["bucket"][0].as_py()
+        q_ids_l, qn_l, probes_l = ray.get(q_ref)
+        qsel = np.flatnonzero((probes_l == b).any(axis=1))
+        if len(qsel) == 0:
+            return empty
+        m = _normalize(_emb_matrix(t, col))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sims = m @ qn_l[qsel].T  # ONE matmul for this (bucket, query-group)
+        nb = sims.shape[0]
+        kk = min(k, nb)
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        out = []
+        for j, qi in enumerate(qsel):
+            idx = part[:, j]
+            s = sims[idx, j]
+            order = np.lexsort((ids[idx], -s))
+            out.append(
+                pa.table(
                     {
-                        "query_id": pa.array([], type=pa.int64()),
-                        "vec_id": pa.array([], type=pa.int64()),
-                        "sim": pa.array([], type=pa.float64()),
+                        "query_id": np.full(kk, q_ids_l[qi], dtype=np.int64),
+                        "vec_id": ids[idx][order].astype(np.int64),
+                        "sim": s[order],
                     }
                 )
-            return pa.concat_tables(out)
+            )
+        return pa.concat_tables(out)
 
-    local = emb_ds.map_batches(
-        Score, batch_format="pyarrow", zero_copy_batch=True, concurrency=4, num_cpus=0.5
+    local = assigned.groupby("bucket").map_groups(
+        score_bucket, batch_format="pyarrow"
     )
 
     def final_topk(df: pd.DataFrame) -> pd.DataFrame:
