@@ -33,6 +33,230 @@ from networkit_ray.stages.graphops import (
 )
 
 
+def random_link_sampler(
+    edges_ds, holdout_mod: int = 5, seed: int = 0, num_partitions: int = 8
+):
+    """Deterministic edge holdout (reference linkprediction/
+    RandomLinkSampler): canonical (src<dst) edges whose pair hash
+    (src*1000003 + dst*7919 + seed) % holdout_mod == 0 are HELD OUT as
+    test positives; the rest are the training graph.  The hash is plain
+    int64 arithmetic so the DuckDB oracle reproduces the exact same split.
+    -> (train_edges, test_edges), both (src, dst, w=1)."""
+    canon = canonicalize_undirected(edges_ds, weight="one").materialize()
+
+    def part(keep_train: bool):
+        def f(t: pa.Table) -> pa.Table:
+            s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            d = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+            h = (s * np.int64(1000003) + d * np.int64(7919) + np.int64(seed)) % holdout_mod
+            mask = (h != 0) if keep_train else (h == 0)
+            return t.filter(pa.array(mask))
+
+        return canon.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+    return part(True), part(False)
+
+
+def link_prediction_auc(
+    edges_ds,
+    holdout_mod: int = 5,
+    neg_mod: int = 17,
+    seed: int = 0,
+    num_partitions: int = 8,
+):
+    """Link-prediction evaluation harness (reference linkprediction/
+    MissingLinksFinder + ROC/PR metrics): hold out 1/holdout_mod of the
+    edges (random_link_sampler), score every candidate pair by COMMON
+    NEIGHBORS on the training graph, and compute ROC-AUC (Mann-Whitney
+    with tie-averaged ranks) + PR-AUC (average precision, ties broken
+    deterministically by (u, v)) over candidates = held-out positives +
+    hash-sampled non-edge negatives.  Negatives are pairs a < b from the
+    vertex set with (a*7919 + b*104729) % neg_mod == 0 that are NOT edges
+    — the same closed form the SQL oracle evaluates.  The metric pass is
+    ONE distributed sort + a streaming O(1)-memory scan (prefix sums);
+    nothing but the two scalars reaches the driver.
+    -> Dataset(1 row: auc_roc, auc_pr, n_pos, n_neg)."""
+    import ray
+    import ray.data
+
+    from networkit_ray.stages.graphops import vertices_from_edges
+
+    canon = canonicalize_undirected(edges_ds, weight="one").materialize()
+    train, test = random_link_sampler(
+        canon, holdout_mod=holdout_mod, seed=seed, num_partitions=num_partitions
+    )
+    train = train.materialize()
+
+    # candidate negatives: hash-filtered non-edge pairs over the vertex set
+    # (the full vid array broadcasts once; pair generation is vectorized per
+    # vertex batch; true edges are removed by a distributed anti-join)
+    verts = vertices_from_edges(canon).materialize()
+    all_vids = np.sort(verts.to_pandas()["vid"].to_numpy(np.int64))
+    vref = ray.put(all_vids)
+
+    def gen_pairs(t: pa.Table) -> pa.Table:
+        vids = ray.get(vref)
+        a = t["vid"].combine_chunks().to_numpy(zero_copy_only=False)
+        A = np.repeat(a, len(vids))
+        B = np.tile(vids, len(a))
+        keep = (A < B) & (
+            (A * np.int64(7919) + B * np.int64(104729)) % neg_mod == 0
+        )
+        return pa.table({"src": A[keep], "dst": B[keep]})
+
+    neg_cand = verts.map_batches(
+        gen_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    flagged = canon.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "is_e": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    negs = (
+        neg_cand.join(
+            flagged,
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=("src", "dst"),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {"u": t["src"], "v": t["dst"]}
+            ).filter(pc.is_null(t["is_e"]).combine_chunks()),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    cands = (
+        test.map_batches(
+            lambda t: pa.table(
+                {
+                    "u": t["src"],
+                    "v": t["dst"],
+                    "lab": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .union(
+            negs.map_batches(
+                lambda t: pa.table(
+                    {
+                        "u": t["u"],
+                        "v": t["v"],
+                        "lab": pa.array(np.zeros(t.num_rows, np.int64)),
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+        .materialize()
+    )
+
+    # common-neighbor score on the TRAIN graph; candidates without a
+    # common neighbor score 0
+    cn = (
+        link_prediction_scores(train, num_partitions=num_partitions)
+        .select_columns(["u", "v", "cn"])
+        .materialize()
+    )
+    scored = cands.join(
+        cn, join_type="left_outer", num_partitions=num_partitions, on=("u", "v")
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "u": t["u"],
+                "v": t["v"],
+                "lab": t["lab"],
+                "score": pc.cast(pc.fill_null(t["cn"], 0), pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    # ONE sort, then a streaming scan: desc by (score, u, v) — tie groups
+    # are contiguous, so both tie-averaged ROC ranks and deterministic PR
+    # precision come from running prefix sums
+    ordered = scored.sort(["score", "u", "v"], descending=[True, False, False])
+    n_total = cands.count()
+    n_pos = 0
+    sum_avg_rank_pos = 0.0  # ascending tie-averaged ranks of positives
+    ap_sum = 0.0
+    cum_pos = 0
+    base = 0  # desc rows consumed so far
+    carry = None  # open tie group spanning batches: (score, start, n, npos)
+
+    def group_rank_sum(start, n, npos):
+        # group at desc positions [start, start+n-1]: ascending ranks
+        # average to n_total - start + 1 - (n-1)/2
+        return npos * (n_total - start + 1 - (n - 1) / 2.0)
+
+    for b in ordered.iter_batches(batch_format="pyarrow", batch_size=65536):
+        sc = b["score"].combine_chunks().to_numpy(zero_copy_only=False)
+        lb = b["lab"].combine_chunks().to_numpy(zero_copy_only=False)
+        kk = len(sc)
+        if kk == 0:
+            continue
+        ranks = np.arange(1, kk + 1, dtype=np.float64) + base
+        cp = np.cumsum(lb) + cum_pos
+        posm = lb == 1
+        ap_sum += float((cp[posm] / ranks[posm]).sum())
+        # contiguous tie groups within the batch
+        newg = np.r_[True, sc[1:] != sc[:-1]]
+        g_start = base + np.flatnonzero(newg) + 1.0
+        g_n = np.diff(np.r_[np.flatnonzero(newg), kk]).astype(np.float64)
+        g_pos = np.add.reduceat(lb.astype(np.float64), np.flatnonzero(newg))
+        g_score = sc[newg]
+        if carry is not None:
+            if g_score[0] == carry[0]:
+                g_start[0] = carry[1]
+                g_n[0] += carry[2]
+                g_pos[0] += carry[3]
+            else:
+                sum_avg_rank_pos += group_rank_sum(carry[1], carry[2], carry[3])
+        # every group but the last is closed
+        if len(g_n) > 1:
+            sum_avg_rank_pos += float(
+                np.sum(
+                    g_pos[:-1]
+                    * (n_total - g_start[:-1] + 1 - (g_n[:-1] - 1) / 2.0)
+                )
+            )
+        carry = (g_score[-1], g_start[-1], g_n[-1], g_pos[-1])
+        base += kk
+        cum_pos = int(cp[-1])
+        n_pos = cum_pos
+    if carry is not None:
+        sum_avg_rank_pos += group_rank_sum(carry[1], carry[2], carry[3])
+    n_neg = n_total - n_pos
+    if n_pos and n_neg:
+        auc_roc = (sum_avg_rank_pos - n_pos * (n_pos + 1) / 2.0) / (
+            n_pos * n_neg
+        )
+    else:
+        auc_roc = 0.5
+    auc_pr = ap_sum / n_pos if n_pos else 0.0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "auc_roc": pa.array([auc_roc], pa.float64()),
+                "auc_pr": pa.array([auc_pr], pa.float64()),
+                "n_pos": pa.array([n_pos], pa.int64()),
+                "n_neg": pa.array([n_neg], pa.int64()),
+            }
+        )
+    )
+
+
 def link_prediction_scores(edges_ds, num_partitions: int = 8):
     """-> Dataset(u, v, cn, jaccard, adamic_adar, resource_alloc, pref_attach)
     for pairs with cn >= 1."""

@@ -284,6 +284,282 @@ def edge_switching(
     )
 
 
+def global_curveball(
+    edges_ds,
+    rounds: int = 10,
+    seed: int = 42,
+    num_partitions: int = 8,
+):
+    """Degree-preserving randomization by GLOBAL CURVEBALL TRADES
+    (reference randomization/GlobalCurveball; Carstens/Hamann et al., ESA
+    2018: "Parallel and I/O-efficient Randomisation of Massive Networks
+    using Global Curveball Trades").  Per round:
+
+      1. vertices hash-pair into n/2 trades (odd vertex rests);
+      2. every edge is owned by the LOWER-trade-id endpoint's trade (ties
+         = same trade -> the edge is between the two traded vertices and
+         is fixed; edges between rested vertices are fixed) — each edge
+         belongs to exactly ONE trade, so all trades commute within a
+         round (the parallel variant of the paper's trade independence);
+      3. each trade (u, v) keeps the common neighbors of u and v and
+         hash-redistributes the disjoint neighbors: |D_u| of the pooled
+         symmetric difference stay at u, the rest go to v.
+
+    Every round preserves the degree multiset EXACTLY and keeps the graph
+    simple (a moved edge can never collide with an existing or concurrent
+    edge: any (v, x) edge is, by the ownership rule, collected into the
+    same trade and therefore classed common).  Deterministic given
+    (seed, rounds).  Trades are processed in vectorized MULTI-trade
+    blocks (trade_id hash-bucketed to ~4*num_partitions groups), never
+    one pandas group per trade.  -> Dataset(src, dst, w=1)."""
+    import pandas as _pd
+
+    cur = (
+        canonicalize_undirected(edges_ds, weight="one")
+        .select_columns(["src", "dst"])
+        .materialize()
+    )
+    from networkit_ray.stages.graphops import vertices_from_edges
+
+    verts = vertices_from_edges(cur).materialize()
+    n = verts.count()
+    if n < 4 or cur.count() < 2:
+        return cur.map_batches(
+            lambda t: t.append_column(
+                "w", pa.array(np.ones(t.num_rows, np.float64))
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    # pairing buckets derive from n ONLY (never num_partitions) so the
+    # result is partition-invariant; ~4k vertices per pairing group keeps
+    # the per-group sort bounded at any scale
+    PAIR_BUCKETS = max(1, (n + 4095) // 4096)
+    TRADE_BUCKETS = max(1, num_partitions * 4)
+    IDX = np.int64(1) << np.int64(32)
+
+    def pair_block(df: _pd.DataFrame) -> _pd.DataFrame:
+        """One hash bucket of vertices -> trade membership rows
+        (vid, tid, u, v): consecutive (h, vid)-sorted vertices pair up;
+        tid = bucket * 2^32 + pair index (unique, hash-placed)."""
+        df = df.sort_values(["h", "vid"]).reset_index(drop=True)
+        m = len(df) - (len(df) % 2)
+        if m == 0:
+            return _pd.DataFrame(
+                {"vid": [], "tid": [], "tu": [], "tv": []}
+            ).astype(np.int64)
+        vid = df["vid"].to_numpy(np.int64)[:m]
+        b = int(df["bucket"].iat[0])
+        tid = np.repeat(
+            b * IDX + np.arange(m // 2, dtype=np.int64), 2
+        )
+        tu = np.repeat(vid[0::2], 2)
+        tv = np.repeat(vid[1::2], 2)
+        return _pd.DataFrame({"vid": vid, "tid": tid, "tu": tu, "tv": tv})
+
+    for r in range(rounds):
+        salt = seed * 7_368_787 + r
+
+        def hash_verts(t: pa.Table, _salt=salt) -> pa.Table:
+            v = t["vid"].combine_chunks().to_numpy(zero_copy_only=False)
+            h = _hash2(v, v, _salt)
+            return pa.table(
+                {
+                    "vid": v,
+                    "h": h.view(np.int64),
+                    "bucket": (h % np.uint64(PAIR_BUCKETS)).view(np.int64),
+                }
+            )
+
+        trades = (
+            verts.map_batches(hash_verts, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("bucket", num_partitions=num_partitions)
+            .map_groups(pair_block, batch_format="pandas")
+            .materialize()
+        )
+
+        # ownership: join trade info to both endpoints; owner = smaller tid
+        j1 = cur.join(
+            trades, join_type="left_outer", num_partitions=num_partitions,
+            on=("src",), right_on=("vid",),
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t["src"],
+                    "dst": t["dst"],
+                    "tid_s": t["tid"],
+                    "tu_s": t["tu"],
+                    "tv_s": t["tv"],
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+        j2 = j1.join(
+            trades, join_type="left_outer", num_partitions=num_partitions,
+            on=("dst",), right_on=("vid",),
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t["src"],
+                    "dst": t["dst"],
+                    "tid_s": t["tid_s"],
+                    "tu_s": t["tu_s"],
+                    "tv_s": t["tv_s"],
+                    "tid_d": t["tid"],
+                    "tu_d": t["tu"],
+                    "tv_d": t["tv"],
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+
+        BIG = np.int64(2**62)
+
+        def classify(t: pa.Table, _salt=salt) -> pa.Table:
+            s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            d = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+
+            def col(name):
+                a = t[name].combine_chunks()
+                return np.where(
+                    pc.is_valid(a).to_numpy(zero_copy_only=False),
+                    a.fill_null(0).to_numpy(zero_copy_only=False),
+                    BIG,
+                ).astype(np.int64)
+
+            ts, tus, tvs = col("tid_s"), col("tu_s"), col("tv_s")
+            td, tud, tvd = col("tid_d"), col("tu_d"), col("tv_d")
+            fixed = (ts == td) | ((ts == BIG) & (td == BIG))
+            own_s = (~fixed) & (ts < td)
+            tid = np.where(own_s, ts, td)
+            tu = np.where(own_s, tus, tud)
+            tv = np.where(own_s, tvs, tvd)
+            active_is_src = own_s
+            active = np.where(active_is_src, s, d)
+            passive = np.where(active_is_src, d, s)
+            side = np.where(active == tu, 0, 1).astype(np.int64)
+            ph = _hash2(passive, tid, _salt ^ 0x27D4EB2F).view(np.int64)
+            coll = pa.table(
+                {
+                    "tkey": tid % TRADE_BUCKETS,
+                    "tid": tid,
+                    "tu": tu,
+                    "tv": tv,
+                    "side": side,
+                    "passive": passive,
+                    "ph": ph,
+                }
+            ).filter(pa.array(~fixed))
+            fix = pa.table(
+                {
+                    "tkey": np.full(int(fixed.sum()), -1, np.int64),
+                    "tid": np.full(int(fixed.sum()), -1, np.int64),
+                    "tu": s[fixed],
+                    "tv": d[fixed],
+                    "side": np.full(int(fixed.sum()), -1, np.int64),
+                    "passive": np.full(int(fixed.sum()), -1, np.int64),
+                    "ph": np.zeros(int(fixed.sum()), np.int64),
+                }
+            )
+            return pa.concat_tables([coll, fix])
+
+        rows = j2.map_batches(
+            classify, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+
+        fixed_edges = rows.map_batches(
+            lambda t: pa.table({"src": t["tu"], "dst": t["tv"]}).filter(
+                pc.equal(t["side"], pa.scalar(-1)).combine_chunks()
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        collected = rows.map_batches(
+            lambda t: t.filter(
+                pc.not_equal(t["side"], pa.scalar(-1)).combine_chunks()
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+        def trade_block(df: _pd.DataFrame) -> _pd.DataFrame:
+            """Vectorized over ALL trades of the block: common neighbors
+            stay put; disjoint neighbors pool per trade and the first
+            |D_u| (by passive-hash order) stay at u, the rest go to v."""
+            tid = df["tid"].to_numpy(np.int64)
+            side = df["side"].to_numpy(np.int64)
+            tu = df["tu"].to_numpy(np.int64)
+            tv = df["tv"].to_numpy(np.int64)
+            passive = df["passive"].to_numpy(np.int64)
+            ph = df["ph"].to_numpy(np.int64)
+            # common = same (tid, passive) appearing on both sides
+            o = np.lexsort((side, passive, tid))
+            tid_o, pas_o = tid[o], passive[o]
+            same_next = np.r_[
+                (tid_o[1:] == tid_o[:-1]) & (pas_o[1:] == pas_o[:-1]), False
+            ]
+            common = same_next | np.r_[False, same_next[:-1]]
+            inv = np.empty_like(o)
+            inv[o] = np.arange(len(o))
+            common = common[inv]
+            src_c = np.where(side[common] == 0, tu[common], tv[common])
+            out_common = {"src": src_c, "dst": passive[common]}
+            # disjoint pool: per tid, hash-order; first du rows stay at u
+            dmask = ~common
+            dt, ds_, dp, dh = tid[dmask], side[dmask], passive[dmask], ph[dmask]
+            du_t, dv_t = tu[dmask], tv[dmask]
+            if len(dt) == 0:
+                new_active = dp  # both empty: block had only common edges
+            else:
+                o2 = np.lexsort((dp, dh, dt))
+                dt, ds_, dp = dt[o2], ds_[o2], dp[o2]
+                du_t, dv_t = du_t[o2], dv_t[o2]
+                newg = np.r_[True, dt[1:] != dt[:-1]]
+                gstart = np.flatnonzero(newg)
+                gid = np.cumsum(newg) - 1
+                rank = np.arange(len(dt)) - gstart[gid]
+                du_count = np.bincount(gid, weights=(ds_ == 0)).astype(np.int64)
+                keep_u = rank < du_count[gid]
+                new_active = np.where(keep_u, du_t, dv_t)
+            return _pd.DataFrame(
+                {
+                    "src": np.concatenate([out_common["src"], new_active]),
+                    "dst": np.concatenate([out_common["dst"], dp]),
+                }
+            )
+
+        traded = collected.groupby("tkey", num_partitions=num_partitions).map_groups(
+            trade_block, batch_format="pandas"
+        )
+        cur = (
+            traded.union(fixed_edges)
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "src": pc.min_element_wise(t["src"], t["dst"]),
+                        "dst": pc.max_element_wise(t["src"], t["dst"]),
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .materialize()
+        )
+    return cur.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "w": pa.array(np.ones(t.num_rows, np.float64)),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def degree_preserving_permutation(
     edges_ds,
     seed: int = 42,

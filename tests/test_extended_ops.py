@@ -367,3 +367,85 @@ def test_plp_snapshot_matches_separate_runs(ray_session):
     c = final.to_pandas().sort_values("vid").reset_index(drop=True)
     d = fin5.to_pandas().sort_values("vid").reset_index(drop=True)
     assert c.equals(d)
+
+
+# --------------------------------------------------------------------------
+# Link-prediction evaluation harness (RandomLinkSampler + ROC/PR-AUC)
+# --------------------------------------------------------------------------
+
+
+def _ds_edges(G):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([int(u) for u, _ in G.edges()], pa.int64()),
+                "dst": pa.array([int(v) for _, v in G.edges()], pa.int64()),
+                "w": pa.array([1.0] * G.number_of_edges()),
+            }
+        )
+    )
+
+
+def test_random_link_sampler_partitions_edges(ray_session):
+    from networkit_ray.pipelines.linkpred import random_link_sampler
+
+    G = fixture_graph("er200")
+    train, test = random_link_sampler(_ds_edges(G), holdout_mod=5, seed=0)
+    tr = set(zip(*train.to_pandas()[["src", "dst"]].to_numpy().T))
+    te = set(zip(*test.to_pandas()[["src", "dst"]].to_numpy().T))
+    allp = {(min(u, v), max(u, v)) for u, v in G.edges()}
+    assert tr | te == allp and not (tr & te)
+    # roughly 1/5 held out
+    assert 0.1 < len(te) / len(allp) < 0.35
+
+
+@pytest.mark.parametrize("name", ["karate", "ba300"])
+def test_link_prediction_auc_exact(ray_session, name):
+    """ROC-AUC (tie-averaged Mann-Whitney) and counts match a pure-numpy
+    reference computing the identical holdout/negative-sampling closed
+    forms and common-neighbor scores."""
+    import collections
+
+    from networkit_ray.pipelines.linkpred import (
+        link_prediction_auc,
+        random_link_sampler,
+    )
+    from networkit_ray.stages.graphops import canonicalize_undirected
+
+    G = fixture_graph(name)
+    eds = _ds_edges(G)
+    res = link_prediction_auc(eds, holdout_mod=5, neg_mod=17, seed=0).to_pandas()
+
+    canon = canonicalize_undirected(eds, weight="one")
+    train, test = random_link_sampler(canon, holdout_mod=5, seed=0)
+    trd, ted = train.to_pandas(), test.to_pandas()
+    allp = {(min(int(u), int(v)), max(int(u), int(v))) for u, v in G.edges()}
+    vids = np.sort(np.array(sorted({v for p in allp for v in p}), np.int64))
+    negs = [
+        (int(a), int(b))
+        for a in vids
+        for b in vids
+        if a < b and (a * 7919 + b * 104729) % 17 == 0 and (a, b) not in allp
+    ]
+    adj = collections.defaultdict(set)
+    for a, b in zip(trd["src"].astype(int), trd["dst"].astype(int)):
+        adj[a].add(b)
+        adj[b].add(a)
+    pos = list(zip(ted["src"].astype(int), ted["dst"].astype(int)))
+    y = np.array([1] * len(pos) + [0] * len(negs))
+    s = np.array([len(adj[a] & adj[b]) for a, b in pos + negs], float)
+    order = np.argsort(s, kind="stable")
+    ss, yy = s[order], y[order]
+    ranks = np.empty(len(ss))
+    i = 0
+    while i < len(ss):
+        j = i
+        while j < len(ss) and ss[j] == ss[i]:
+            j += 1
+        ranks[i:j] = (i + 1 + j) / 2.0
+        i = j
+    npos, nneg = int(y.sum()), int(len(y) - y.sum())
+    want = (ranks[yy == 1].sum() - npos * (npos + 1) / 2) / (npos * nneg)
+    assert int(res["n_pos"][0]) == npos and int(res["n_neg"][0]) == nneg
+    assert abs(float(res["auc_roc"][0]) - want) < 1e-12
+    assert 0.0 <= float(res["auc_pr"][0]) <= 1.0

@@ -119,3 +119,44 @@ def test_degree_preserving_shuffle_deterministic(ray_session):
     ka = sorted(zip(a["src"], a["dst"]))
     kb = sorted(zip(b["src"], b["dst"]))
     assert ka == kb
+
+
+# --------------------------------------------------------------------------
+# GlobalCurveball (Carstens/Hamann et al., ESA 2018)
+# --------------------------------------------------------------------------
+
+from networkit_ray.pipelines.randomization import global_curveball
+
+
+@pytest.mark.parametrize("name", ["karate", "er200", "ba300"])
+def test_global_curveball_invariants(ray_session, name):
+    G = fixture_graph(name)
+    out = global_curveball(ds_of(G), rounds=4, seed=7, num_partitions=3).to_pandas()
+    assert len(out) == G.number_of_edges()
+    assert len(set(zip(out["src"], out["dst"]))) == len(out)  # simple
+    assert (out["src"] < out["dst"]).all()  # canonical, no loops
+    got = nx.Graph(list(zip(out["src"].astype(int), out["dst"].astype(int))))
+    for v in G.nodes:
+        if v not in got:
+            got.add_node(v)
+    # curveball preserves EVERY vertex's degree exactly, not just the multiset
+    assert dict(got.degree()) == dict(G.degree())
+
+
+def test_global_curveball_mixes(ray_session):
+    G = fixture_graph("er200")
+    out = global_curveball(ds_of(G), rounds=5, seed=3, num_partitions=3).to_pandas()
+    orig = {(min(u, v), max(u, v)) for u, v in G.edges()}
+    moved = len(set(zip(out["src"].astype(int), out["dst"].astype(int))) - orig)
+    assert moved > len(out) // 4  # a large fraction of edges rewired
+
+
+def test_global_curveball_deterministic(ray_session):
+    G = fixture_graph("karate")
+    a = global_curveball(ds_of(G), rounds=3, seed=7, num_partitions=2).to_pandas()
+    b = global_curveball(
+        ds_of(G).repartition(5), rounds=3, seed=7, num_partitions=4
+    ).to_pandas()
+    assert sorted(zip(a["src"], a["dst"])) == sorted(zip(b["src"], b["dst"]))
+    c = global_curveball(ds_of(G), rounds=3, seed=8, num_partitions=2).to_pandas()
+    assert sorted(zip(a["src"], a["dst"])) != sorted(zip(c["src"], c["dst"]))
