@@ -138,3 +138,58 @@ def read_metis_file(path: str):
             }
         )
     )
+
+
+def read_snap(paths, weighted: bool = False):
+    """SNAP edge lists (the most common public-graph format; reference
+    io/SNAPGraphReader): '#'-comment lines, tab-or-whitespace separated,
+    0-based ids.  Streams via read_text -> vectorized parse."""
+    return read_edge_list(paths, separator=None, comment="#", weighted=weighted)
+
+
+def write_snap(edges_ds, path: str, weighted: bool = False):
+    """Dataset(src, dst[, w]) -> sharded SNAP-style tab-separated files."""
+    write_edge_list(edges_ds, path, separator="\t", weighted=weighted)
+
+
+def read_konect(paths, weighted: bool = True):
+    """KONECT out.* edge lists (reference io/KONECTGraphReader):
+    '%'-comment meta lines, whitespace separated, 1-BASED ids, optional
+    weight (3rd) and timestamp (4th, ignored) columns."""
+    return read_edge_list(
+        paths, separator=None, comment="%", offset=1, weighted=weighted
+    )
+
+
+def read_gml_file(path: str):
+    """GML graph file -> Dataset(src, dst, w); DRIVER-SIDE compat loader
+    (single-file block format, like METIS — see module docstring).
+    Parses `node [ id N ]` / `edge [ source A target B (value|weight) W ]`
+    blocks; node ids map through unchanged."""
+    import re
+
+    import ray.data
+
+    text = open(path).read()
+    srcs: list[int] = []
+    dsts: list[int] = []
+    ws: list[float] = []
+    for m in re.finditer(r"edge\s*\[([^\]]*)\]", text):
+        body = m.group(1)
+        s = re.search(r"\bsource\s+(-?\d+)", body)
+        t = re.search(r"\btarget\s+(-?\d+)", body)
+        if s is None or t is None:
+            raise ValueError(f"GML edge block missing source/target: {body!r}")
+        wm = re.search(r"\b(?:value|weight)\s+(-?[\d.eE+]+)", body)
+        srcs.append(int(s.group(1)))
+        dsts.append(int(t.group(1)))
+        ws.append(float(wm.group(1)) if wm else 1.0)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src": np.array(srcs, dtype=np.int64),
+                "dst": np.array(dsts, dtype=np.int64),
+                "w": np.array(ws, dtype=np.float64),
+            }
+        )
+    )

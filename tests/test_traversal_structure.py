@@ -519,3 +519,118 @@ def test_sssp_parallel_edges_min_weight(ray_session):
     out, _ = sssp_weighted(ds, [0], num_partitions=2, undirected=True)
     got = dict(zip(out.to_pandas()["vid"], out.to_pandas()["dist"]))
     assert got == {0: 0.0, 1: 2.0, 2: 3.0}
+
+
+def test_node2vec_walks_valid_and_deterministic(ray_session):
+    from networkit_ray.pipelines.walks import node2vec_walks
+    from networkit_ray.stages.graphops import canonicalize_undirected, symmetrize
+
+    G = fixture_graph("karate")
+    sym = symmetrize(canonicalize_undirected(edges_dataset(G), weight="one"))
+    w1 = node2vec_walks(
+        sym, walk_length=6, walks_per_node=2, p=0.5, q=2.0, num_partitions=2
+    ).to_pandas()
+    n = G.number_of_nodes()
+    assert len(w1) == n * 2 * 7
+    w1s = w1.sort_values(["walk_id", "step"])
+    for wid, grp in w1s.groupby("walk_id"):
+        vs = grp["vid"].tolist()
+        assert grp["step"].tolist() == list(range(len(vs)))
+        for a, b in zip(vs, vs[1:]):
+            assert G.has_edge(int(a), int(b)), (wid, a, b)
+    # partition-invariant
+    w2 = node2vec_walks(
+        sym, walk_length=6, walks_per_node=2, p=0.5, q=2.0, num_partitions=4
+    ).to_pandas()
+    a = w1.sort_values(["walk_id", "step"]).reset_index(drop=True)
+    b = w2.sort_values(["walk_id", "step"]).reset_index(drop=True)
+    assert a.equals(b)
+    # the bias parameters actually matter
+    w3 = node2vec_walks(
+        sym, walk_length=6, walks_per_node=2, p=100.0, q=0.01, num_partitions=2
+    ).to_pandas()
+    c = w3.sort_values(["walk_id", "step"]).reset_index(drop=True)
+    assert not a.equals(c)
+
+
+def test_node2vec_bias_distribution(ray_session):
+    """Empirical second-order transition frequencies match the node2vec
+    law w = 1/p (return), 1 (common neighbor), 1/q (distance 2) on a
+    triangle-plus-pendant fixture, within 5 sigma."""
+    from networkit_ray.pipelines.walks import node2vec_walks
+    from networkit_ray.stages.graphops import symmetrize
+
+    # triangle 0-1-2 with pendant 2-3
+    tbl = pa.table(
+        {
+            "src": np.array([0, 0, 1, 2], dtype=np.int64),
+            "dst": np.array([1, 2, 2, 3], dtype=np.int64),
+            "w": np.ones(4),
+        }
+    )
+    sym = symmetrize(ray.data.from_arrow(tbl))
+    p_, q_ = 0.25, 4.0
+    out = node2vec_walks(
+        sym, walk_length=2, walks_per_node=4000, p=p_, q=q_, seed=5,
+        num_partitions=3,
+    ).to_pandas()
+    piv = out.pivot_table(index="walk_id", columns="step", values="vid").astype(int)
+    # condition on (prev=1, cur=2): candidates 0 (common nb), 1 (return),
+    # 3 (distance 2) with weights 1, 1/p, 1/q
+    sel = piv[(piv[0] == 1) & (piv[1] == 2)]
+    cnt = sel[2].value_counts()
+    tot = len(sel)
+    assert tot > 300
+    wts = {0: 1.0, 1: 1.0 / p_, 3: 1.0 / q_}
+    z = sum(wts.values())
+    for nxt, w in wts.items():
+        want = w / z
+        got = cnt.get(nxt, 0) / tot
+        sig = (want * (1 - want) / tot) ** 0.5
+        assert abs(got - want) < 5 * sig + 1e-9, (nxt, got, want, tot)
+
+
+def test_snap_konect_gml_readers(ray_session, tmp_path):
+    from networkit_ray.sources.io import (
+        read_gml_file,
+        read_konect,
+        read_snap,
+        write_snap,
+    )
+
+    p = tmp_path / "snap.txt"
+    p.write_text("# Directed graph\n# FromNodeId\tToNodeId\n0\t1\n1\t2\n2\t0\n")
+    out = read_snap(str(p)).to_pandas()
+    assert sorted(zip(out["src"], out["dst"])) == [(0, 1), (1, 2), (2, 0)]
+    assert (out["w"] == 1.0).all()
+
+    k = tmp_path / "out.test"
+    k.write_text("% sym unweighted\n1 2\n2 3 5.0 1234567\n")
+    out = read_konect(str(k)).to_pandas()
+    got = {(r.src, r.dst): r.w for r in out.itertuples()}
+    assert got == {(0, 1): 1.0, (1, 2): 5.0}
+
+    g = tmp_path / "g.gml"
+    g.write_text(
+        'graph [\n  node [ id 0 label "a" ]\n  node [ id 1 ]\n'
+        "  edge [ source 0 target 1 value 2.5 ]\n"
+        "  edge [ source 1 target 0 ]\n]\n"
+    )
+    out = read_gml_file(str(g)).to_pandas()
+    got = {(r.src, r.dst): r.w for r in out.itertuples()}
+    assert got == {(0, 1): 2.5, (1, 0): 1.0}
+
+    # roundtrip: write_snap -> read_snap is the identity on (src, dst)
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "src": np.array([5, 3, 9], dtype=np.int64),
+            "dst": np.array([6, 4, 1], dtype=np.int64),
+            "w": np.ones(3),
+        }
+    )
+    d = tmp_path / "rt"
+    write_snap(ray.data.from_arrow(tbl), str(d))
+    back = read_snap(str(d)).to_pandas()
+    assert sorted(zip(back["src"], back["dst"])) == [(3, 4), (5, 6), (9, 1)]
