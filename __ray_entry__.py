@@ -275,10 +275,31 @@ def q_local_clustering(sf_dir):
 
 
 def q_link_prediction(sf_dir):
-    from networkit_ray.pipelines.linkpred import link_prediction_scores
+    from networkit_ray.pipelines.linkpred import (
+        katz_index_scores,
+        link_prediction_scores,
+    )
 
     out = link_prediction_scores(_supplier_edges(sf_dir), num_partitions=P)
-    return _round6(_round6(_round6(out, "jaccard"), "adamic_adar"), "resource_alloc")
+    out = _round6(_round6(_round6(out, "jaccard"), "adamic_adar"), "resource_alloc")
+    # KatzIndex rides the same slot: pairs with cn >= 1 have a 2-walk, so
+    # the inner join keeps exactly the score table's pair set
+    kz = _round6(
+        katz_index_scores(
+            _supplier_edges(sf_dir), beta=0.005, max_path=3, num_partitions=P
+        ),
+        "katz_index",
+    ).materialize()
+    cols = out.schema().names
+    return out.materialize().join(
+        kz, join_type="inner", num_partitions=P, on=("u", "v")
+    ).map_batches(
+        lambda t, cols=cols: pa.table(
+            {**{c: t[c] for c in cols}, "katz_index": t["katz_index"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def q_tumbling_window(sf_dir):
@@ -1349,6 +1370,461 @@ def q_pagerank_nibble(sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# round-4 queries: exact distance suite on a closed-form fixture graph,
+# link-prediction evaluation, walk validity, SNAP roundtrip
+# --------------------------------------------------------------------------
+
+FIX_N, FIX_C = 97, 7  # ring + sparse chords: asymmetric, diameter 16
+FIX_K = 20  # unrolled walk levels in the SQL oracle (> diameter)
+
+
+def _fixture_edges():
+    """Deterministic ring+sparse-chords graph, SQL-closed-form: edges
+    (i, i+1 mod N) for all i plus (i, i+C mod N) for i % 3 == 0 — NOT
+    vertex-transitive, so betweenness/closeness vary across vertices."""
+    import ray.data
+
+    i = np.arange(FIX_N, dtype=np.int64)
+    ring = np.stack([np.minimum(i, (i + 1) % FIX_N), np.maximum(i, (i + 1) % FIX_N)], 1)
+    ci = i[i % 3 == 0]
+    ch = np.stack(
+        [np.minimum(ci, (ci + FIX_C) % FIX_N), np.maximum(ci, (ci + FIX_C) % FIX_N)], 1
+    )
+    e = np.unique(np.concatenate([ring, ch]), axis=0)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src": e[:, 0],
+                "dst": e[:, 1],
+                "w": np.ones(len(e), dtype=np.float64),
+            }
+        )
+    )
+
+
+def q_betweenness_exact(sf_dir):
+    """Exact all-sources Brandes betweenness (centrality/Betweenness) on
+    the fixture graph, value-checked against the unrolled walk-count-CTE
+    SQL oracle (sigma(s,v)*sigma(v,t)/sigma(s,t) pair sums)."""
+    from networkit_ray.pipelines.traversal import betweenness_exact
+
+    out = betweenness_exact(
+        _fixture_edges(), num_partitions=P, undirected=True, batch=64
+    )
+    return _round6(out, "betweenness")
+
+
+def q_top_closeness(sf_dir):
+    """TopCloseness (k=10, degree-bound pruning) on the fixture graph;
+    the SQL oracle computes ALL exact closenesses from the walk-CTE
+    distance table and takes the same top-10 (ties -> smaller vid)."""
+    from networkit_ray.pipelines.traversal import top_closeness
+
+    out = top_closeness(_fixture_edges(), k=10, num_partitions=P, batch=64)
+    return _round6(out, "closeness")
+
+
+def q_hop_plot(sf_dir):
+    """Exact hop plot / effective diameter (distance/EffectiveDiameter,
+    HopPlotApproximation exact mode) on the fixture graph."""
+    from networkit_ray.pipelines.traversal import hop_plot
+
+    ds, _eff = hop_plot(_fixture_edges(), num_partitions=P, batch=64, q=0.9)
+    return ds
+
+
+def q_linkpred_auc(sf_dir):
+    """Link-prediction evaluation harness (linkprediction/
+    MissingLinksFinder + ROC/PR metrics): hash holdout, common-neighbor
+    scores on the training graph, tie-averaged ROC-AUC + deterministic
+    PR-AUC — every stage SQL-mirrored closed-form."""
+    from networkit_ray.pipelines.linkpred import link_prediction_auc
+
+    out = link_prediction_auc(
+        _edges(sf_dir), holdout_mod=5, neg_mod=17, seed=0, num_partitions=P
+    )
+    return _round6(_round6(out, "auc_roc"), "auc_pr")
+
+
+def q_walks_check(sf_dir):
+    """Value-checkable contract of the BIASED node2vec walk corpus
+    (embedding/Node2Vec): walk count and total rows are closed-form
+    (symmetrized graph -> no sinks -> every walk completes), and every
+    consecutive step must be a graph edge (invalid_transitions pinned 0
+    by the SQL oracle).  The walk VALUES are hash-draw-defined ->
+    distributional oracles live in tests/test_traversal_structure.py."""
+    from networkit_ray.pipelines.walks import node2vec_walks
+    from networkit_ray.stages.graphops import canonicalize_undirected, symmetrize
+
+    sym = symmetrize(
+        canonicalize_undirected(_edges(sf_dir), weight="one")
+    ).materialize()
+    walks = node2vec_walks(
+        sym, walk_length=4, walks_per_node=1, p=0.5, q=2.0, seed=3,
+        num_partitions=P,
+    ).materialize()
+    total = int(walks.count())
+    n_walks = int(
+        walks.map_batches(
+            lambda t: pa.table(
+                {
+                    "n": pa.array(
+                        [int(pc.sum(pc.equal(t["step"], 0)).as_py() or 0)],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).sum("n")
+        or 0
+    )
+    nxt = walks.map_batches(
+        lambda t: pa.table(
+            {
+                "walk_id": t["walk_id"],
+                "step": pc.subtract(t["step"], 1),
+                "nvid": t["vid"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    trans = walks.join(
+        nxt, join_type="inner", num_partitions=P, on=("walk_id", "step")
+    ).map_batches(
+        lambda t: pa.table({"tv": t["vid"], "tn": t["nvid"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    flag = sym.map_batches(
+        lambda t: pa.table(
+            {
+                "tv": t["src"],
+                "tn": t["dst"],
+                "ok": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    invalid = int(
+        trans.join(flag, join_type="left_outer", num_partitions=P, on=("tv", "tn"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "n": pa.array(
+                        [int(pc.sum(pc.is_null(t["ok"])).as_py() or 0)],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .sum("n")
+        or 0
+    )
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_walks": pa.array([n_walks], pa.int64()),
+                "total_rows": pa.array([total], pa.int64()),
+                "invalid_transitions": pa.array([invalid], pa.int64()),
+            }
+        )
+    )
+
+
+def q_snap_roundtrip(sf_dir):
+    """SNAP writer -> reader roundtrip identity (io/SNAPGraphReader):
+    the customer-supplier edge pairs written as sharded SNAP text and
+    streamed back must hash-equal the edge SQL."""
+    import tempfile
+
+    from networkit_ray.sources.io import read_snap, write_snap
+
+    d = tempfile.mkdtemp(prefix="snaprt_", dir="/tmp")
+    path = d + "/edges"
+    write_snap(_edges(sf_dir), path)
+    return read_snap(path).select_columns(["src", "dst"])
+
+
+# --------------------------------------------------------------------------
+# merged queries: one registry slot carries several operators so every
+# SQL-oracled query fits in the driver's 50-slot correctness window
+# --------------------------------------------------------------------------
+
+
+def q_dynamic_replay(sf_dir):
+    """DynConnectedComponents + DynBFS replay, joined on vid (one slot
+    carries both dynamic operators; same per-op semantics as r3)."""
+    cc = q_dynamic_cc_replay(sf_dir).map_batches(
+        lambda t: pa.table({"vid": t["vid"], "cc_label": t["label"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    bf = q_dynamic_bfs_replay(sf_dir).materialize()
+    return cc.join(bf, join_type="inner", num_partitions=P, on=("vid",)).map_batches(
+        lambda t: pa.table(
+            {"vid": t["vid"], "cc_label": t["cc_label"], "depth": t["depth"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_vertex_scores(sf_dir):
+    """DegreeCentrality + LocalClusteringCoefficient + LaplacianCentrality
+    + Sfigality on the supplier co-part graph, joined on vid."""
+    out = q_degree_centrality(sf_dir).materialize()
+    for other, col in (
+        (q_local_clustering(sf_dir), "lcc"),
+        (q_laplacian_centrality(sf_dir), "lc"),
+        (q_sfigality(sf_dir), "sfigality"),
+    ):
+        prev_cols = out.schema().names
+        out = out.join(
+            other.materialize(), join_type="inner", num_partitions=P, on=("vid",)
+        ).map_batches(
+            lambda t, cols=prev_cols + [col]: pa.table(
+                {c: t[c] for c in cols}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+    return out
+
+
+def q_spectral_scores(sf_dir):
+    """KatzCentrality + EigenvectorCentrality + HITS on the
+    customer-supplier graph, joined on vid."""
+    kz = q_katz(sf_dir).map_batches(
+        lambda t: pa.table({"vid": t["vid"], "katz": t["x"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    ev = q_eigenvector(sf_dir).map_batches(
+        lambda t: pa.table({"vid": t["vid"], "eigenvector": t["x"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    ht = q_hits(sf_dir).materialize()
+    j = kz.join(ev, join_type="inner", num_partitions=P, on=("vid",)).map_batches(
+        lambda t: pa.table(
+            {"vid": t["vid"], "katz": t["katz"], "eigenvector": t["eigenvector"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    return j.join(ht, join_type="inner", num_partitions=P, on=("vid",)).map_batches(
+        lambda t: pa.table(
+            {
+                "vid": t["vid"],
+                "katz": t["katz"],
+                "eigenvector": t["eigenvector"],
+                "auth": t["auth"],
+                "hub": t["hub"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_edge_scores(sf_dir):
+    """TriangleEdgeScore + SCANStructuralSimilarity + LocalDegreeScore on
+    the supplier co-part graph, joined on (src, dst)."""
+    tri = q_edge_triangle_scores(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "cn": t["cn"],
+                "triangle_score": t["score"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    sc = q_scan_scores(sf_dir).map_batches(
+        lambda t: pa.table(
+            {"src": t["src"], "dst": t["dst"], "scan_score": t["score"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    ld = q_local_degree_scores(sf_dir).map_batches(
+        lambda t: pa.table(
+            {"src": t["src"], "dst": t["dst"], "local_degree_score": t["score"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    from networkit_ray.pipelines.structure import (
+        local_similarity_scores,
+        simmelian_overlap_scores,
+    )
+
+    sim = simmelian_overlap_scores(
+        _supplier_edges(sf_dir), max_rank=5, num_partitions=P
+    ).map_batches(
+        lambda t: pa.table(
+            {"src": t["src"], "dst": t["dst"], "simmelian_overlap": t["overlap"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    ls = _round6(
+        local_similarity_scores(_supplier_edges(sf_dir), num_partitions=P), "score"
+    ).map_batches(
+        lambda t: pa.table(
+            {"src": t["src"], "dst": t["dst"], "local_similarity_score": t["score"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    out = tri
+    for other in (sc, ld, sim, ls):
+        prev_cols = out.schema().names
+        new_col = [c for c in other.schema().names if c not in ("src", "dst")]
+        out = out.join(
+            other, join_type="inner", num_partitions=P, on=("src", "dst")
+        ).map_batches(
+            lambda t, cols=prev_cols + new_col: pa.table({c: t[c] for c in cols}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+    return out
+
+
+def q_partition_metrics(sf_dir):
+    """Coverage + EdgeCut + NMI/ARI/Rand/Jaccard in one row (both are
+    1-row metric queries over PLP labelings)."""
+    import ray.data
+
+    pq = q_partition_quality(sf_dir).to_pandas()
+    pcm = q_partition_compare(sf_dir).to_pandas()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "coverage": pa.array([float(pq["coverage"][0])]),
+                "edge_cut": pa.array([float(pq["edge_cut"][0])]),
+                "nmi": pa.array([float(pcm["nmi"][0])]),
+                "ari": pa.array([float(pcm["ari"][0])]),
+                "rand": pa.array([float(pcm["rand"][0])]),
+                "jaccard": pa.array([float(pcm["jaccard"][0])]),
+            }
+        )
+    )
+
+
+def q_spanning_forests(sf_dir):
+    """SpanningForest + RandomMaximumSpanningForest per-component edge
+    counts, joined on the component label (both must realize a spanning
+    forest of every component — the SQL oracle derives the counts from
+    connected-component sizes)."""
+    sf = q_spanning_forest(sf_dir).materialize()
+    rm = q_random_msf(sf_dir).map_batches(
+        lambda t: pa.table({"label": t["label"], "n_edges_rand": t["n_edges"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    return sf.join(rm, join_type="inner", num_partitions=P, on=("label",)).map_batches(
+        lambda t: pa.table(
+            {
+                "label": t["label"],
+                "n_edges": t["n_edges"],
+                "n_edges_rand": t["n_edges_rand"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _undirected_degrees(rnd_edges):
+    from networkit_ray.stages.graphops import symmetrize
+
+    return (
+        symmetrize(rnd_edges)
+        .groupby("src", num_partitions=P)
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {"vid": t["src"], "deg": pc.cast(t["count()"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
+def q_randomization_degrees(sf_dir):
+    """Degree-preservation contracts of ALL THREE randomizers in one
+    query: EdgeSwitching and GlobalCurveball preserve the per-vertex
+    degree table of the customer-supplier graph EXACTLY; the
+    DegreePreservingShuffle'd supplier graph keeps the original degree
+    table.  The SQL oracle computes the original degrees directly."""
+    from networkit_ray.pipelines.randomization import global_curveball
+
+    def tag(ds, name):
+        return ds.map_batches(
+            lambda t, _n=name: pa.table(
+                {
+                    "method": pa.array([_n] * t.num_rows, pa.string()),
+                    "vid": t["vid"],
+                    "deg": t["deg"],
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    sw = tag(q_edge_switch_degrees(sf_dir), "switch")
+    cb = tag(
+        _undirected_degrees(
+            global_curveball(_edges(sf_dir), rounds=2, seed=11, num_partitions=P)
+        ),
+        "curveball",
+    )
+    sh = tag(
+        q_degree_shuffle_degrees(sf_dir).map_batches(
+            lambda t: pa.table(
+                {"vid": t["vid"], "deg": pc.cast(t["degree"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "shuffle",
+    )
+    return sw.union(cb).union(sh)
+
+
+def q_knn_search(sf_dir):
+    """Brute-force + IVF ANN top-k in one slot, tagged by method."""
+
+    def tag(ds, name):
+        return ds.map_batches(
+            lambda t, _n=name: pa.table(
+                {
+                    "method": pa.array([_n] * t.num_rows, pa.string()),
+                    "query_id": t["query_id"],
+                    "vec_id": t["vec_id"],
+                    "sim": t["sim"],
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    return tag(q_knn_brute(sf_dir), "brute").union(tag(q_knn_ivf(sf_dir), "ivf"))
+
+
 def entry() -> Any:
     """Flagship on sf0.001: build customer-supplier graph, PageRank via the
     BSP CSR actor engine, return the scored vertex table."""
@@ -1357,72 +1833,67 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """EXACTLY 50 registered queries — the driver's correctness gate
+    checks the first 50 registry slots, so every slot here gets a driver
+    row every round: slots 1-45 are SQL-value-oracled, slots 46-50 are
+    the only genuinely non-SQL-expressible pipelines (rows-only; their
+    value oracles live in tests/, see FIXTURES.md §3).  Operators whose
+    r3 queries were merged away keep full coverage through the carrier
+    noted in SURVEY.md §2 (e.g. vertex_scores carries DegreeCentrality +
+    LCC + LaplacianCentrality + Sfigality; randomization_degrees carries
+    all three degree-preserving randomizers)."""
     return {
         "edges_build": q_edges_build,
         "degrees": q_degrees,
         "pagerank": q_pagerank,
         "pagerank_top20": q_pagerank_top20,
         "connected_components": q_connected_components,
-        "dynamic_cc_replay": q_dynamic_cc_replay,
-        "dynamic_bfs_replay": q_dynamic_bfs_replay,
         "label_propagation": q_label_propagation,
         "triangle_counts": q_triangles,
-        "degree_centrality": q_degree_centrality,
-        "katz_centrality": q_katz,
-        "local_clustering": q_local_clustering,
+        "strongly_connected_components": q_scc,
+        "topological_levels": q_topological_levels,
+        "bfs_depths": q_bfs_depths,
+        "sssp_weighted": q_sssp_weighted,
+        "diameter_bounds": q_diameter,
+        "closeness_sampled": q_closeness,
+        "dynamic_replay": q_dynamic_replay,
+        "vertex_scores": q_vertex_scores,
+        "spectral_scores": q_spectral_scores,
+        "betweenness_exact": q_betweenness_exact,
+        "top_closeness": q_top_closeness,
+        "hop_plot": q_hop_plot,
+        "kcore_membership": q_kcore,
+        "degree_assortativity": q_assortativity,
+        "edge_scores": q_edge_scores,
+        "modularity_plp": q_modularity,
+        "louvain_quality": q_louvain_quality,
+        "leiden_check": q_leiden_check,
+        "partition_metrics": q_partition_metrics,
         "link_prediction": q_link_prediction,
+        "linkpred_auc": q_linkpred_auc,
         "tumbling_window": q_tumbling_window,
         "session_windows": q_session_windows,
-        "modularity_plp": q_modularity,
         "text_stats": q_text_stats,
         "exact_dedup": q_exact_dedup,
         "jaccard_similar_pairs": q_jaccard_pairs,
+        "knn_search": q_knn_search,
+        "cosine_near_dup_pairs": q_cosine_near_dups,
+        "spanning_forests": q_spanning_forests,
+        "articulation_check": q_articulation_check,
+        "matching_check": q_matching_check,
+        "luby_check": q_luby_check,
+        "cliques_bipartite": q_cliques_bipartite,
+        "randomization_degrees": q_randomization_degrees,
+        "gen_ws_ring": q_gen_ws_ring,
+        "walks_check": q_walks_check,
+        "snap_roundtrip": q_snap_roundtrip,
+        "ppr_seed": q_ppr_seed,
+        # --- slots 46-50: algorithm-defined outputs, rows-only ---
         "minhash_dedup_groups": q_minhash_groups,
         "simhash_near_dups": q_simhash_near_dups,
         "fingerprints": q_fingerprints,
-        "knn_brute": q_knn_brute,
-        "knn_ivf": q_knn_ivf,
-        "cosine_near_dup_pairs": q_cosine_near_dups,
-        "bfs_depths": q_bfs_depths,
-        "sssp_weighted": q_sssp_weighted,
-        "closeness_sampled": q_closeness,
-        "eigenvector_centrality": q_eigenvector,
-        "kcore_membership": q_kcore,
-        "degree_assortativity": q_assortativity,
-        "edge_triangle_scores": q_edge_triangle_scores,
-        "laplacian_centrality": q_laplacian_centrality,
-        "sfigality": q_sfigality,
-        "scan_scores": q_scan_scores,
-        "local_degree_scores": q_local_degree_scores,
-        "topological_levels": q_topological_levels,
-        "strongly_connected_components": q_scc,
-        "diameter_bounds": q_diameter,
-        "partition_quality": q_partition_quality,
-        "partition_compare": q_partition_compare,
-        "spanning_forest": q_spanning_forest,
-        "random_msf": q_random_msf,
-        "bicc_edges": q_bicc_edges,
-        "articulation_check": q_articulation_check,
-        "gen_ws_ring": q_gen_ws_ring,
-        "graph_matching": q_graph_matching,
-        "matching_check": q_matching_check,
-        "louvain_quality": q_louvain_quality,
-        "leiden_check": q_leiden_check,
-        "luby_check": q_luby_check,
-        "maximal_cliques": q_maximal_cliques,
-        "cliques_bipartite": q_cliques_bipartite,
-        "edge_switch_degrees": q_edge_switch_degrees,
-        "degree_shuffle_degrees": q_degree_shuffle_degrees,
-        "approx_betweenness": q_betweenness,
-        "louvain_communities": q_louvain,
-        "luby_mis": q_luby_mis,
-        "random_walks": q_random_walks,
-        "anf_sketch": q_anf_sketch,
         "corpus_extract_edges": q_corpus_extract,
         "corpus_pagerank": q_corpus_pagerank,
-        "ppr_seed": q_ppr_seed,
-        "pagerank_nibble": q_pagerank_nibble,
-        "hits_scores": q_hits,
     }
 
 
@@ -2310,6 +2781,292 @@ FROM (
 """
 
 
+# --- exact distance suite on the closed-form fixture graph -----------------
+# walk-count unrolled CTEs: W_k = A^k as (s, v, count); dist(s,v) = first k
+# with W_k[s,v] > 0 and sigma(s,v) = W_dist[s,v] (a minimal-length walk IS a
+# shortest path), so Brandes' pair-dependency sum, closeness and the hop
+# plot all derive from ONE chained-MATERIALIZED-CTE prelude (DuckDB 1.0's
+# recursive-CTE re-aggregation bug is avoided the same way as _hits_sql).
+
+_FIX_EDGES_SQL = f"""
+SELECT DISTINCT LEAST(i, (i + 1) % {FIX_N}) AS src,
+       GREATEST(i, (i + 1) % {FIX_N}) AS dst
+FROM generate_series(0, {FIX_N - 1}) t(i)
+UNION
+SELECT DISTINCT LEAST(i, (i + {FIX_C}) % {FIX_N}) AS src,
+       GREATEST(i, (i + {FIX_C}) % {FIX_N}) AS dst
+FROM generate_series(0, {FIX_N - 1}) t(i) WHERE i % 3 = 0
+"""
+
+
+def _fix_walks_cte(k_max: int) -> str:
+    parts = [
+        f"fixe AS MATERIALIZED ({_FIX_EDGES_SQL})",
+        "fsym AS MATERIALIZED (SELECT src, dst FROM fixe"
+        " UNION ALL SELECT dst, src FROM fixe)",
+        f"w0 AS MATERIALIZED (SELECT i AS s, i AS v, CAST(1 AS BIGINT) AS c"
+        f" FROM generate_series(0, {FIX_N - 1}) t(i))",
+    ]
+    for k in range(1, k_max + 1):
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT w.s, e.dst AS v, SUM(w.c) AS c"
+            f" FROM w{k - 1} w JOIN fsym e ON w.v = e.src GROUP BY 1, 2)"
+        )
+    allw = " UNION ALL ".join(
+        f"SELECT {k} AS k, s, v, c FROM w{k}" for k in range(k_max + 1)
+    )
+    parts.append(f"allw AS MATERIALIZED ({allw})")
+    parts.append(
+        "fdist AS MATERIALIZED (SELECT s, v, MIN(k) AS d FROM allw"
+        " WHERE c > 0 GROUP BY 1, 2)"
+    )
+    parts.append(
+        "fsigma AS MATERIALIZED (SELECT a.s, a.v, a.d, w.c AS sig"
+        " FROM fdist a JOIN allw w ON w.k = a.d AND w.s = a.s AND w.v = a.v)"
+    )
+    return "WITH " + ",\n".join(parts)
+
+
+_BETWEENNESS_SQL = (
+    _fix_walks_cte(FIX_K)
+    + """
+SELECT sv.v AS vid,
+       FLOOR(0.5 * SUM(CAST(sv.sig AS DOUBLE) * vt.sig / st.sig)
+             * 1000000 + 0.5) / 1000000.0 AS betweenness
+FROM fsigma sv
+JOIN fsigma vt ON vt.s = sv.v
+JOIN fsigma st ON st.s = sv.s AND st.v = vt.v
+WHERE sv.d + vt.d = st.d
+  AND sv.s <> sv.v AND vt.v <> sv.v AND sv.s <> vt.v
+GROUP BY 1
+"""
+)
+
+_TOP_CLOSENESS_SQL = (
+    _fix_walks_cte(FIX_K)
+    + """
+SELECT s AS vid,
+       FLOOR((COUNT(*) - 1) * 1.0 / SUM(d) * 1000000 + 0.5) / 1000000.0
+         AS closeness
+FROM fdist GROUP BY 1 ORDER BY closeness DESC, vid ASC LIMIT 10
+"""
+)
+
+_HOP_PLOT_SQL = (
+    _fix_walks_cte(FIX_K)
+    + """
+, hist AS (SELECT d AS t, COUNT(*) AS pairs FROM fdist WHERE d > 0 GROUP BY 1),
+cum AS (SELECT t, pairs, SUM(pairs) OVER (ORDER BY t) AS cum_pairs,
+               SUM(pairs) OVER () AS total FROM hist)
+SELECT CAST(t AS BIGINT) AS t, CAST(pairs AS BIGINT) AS pairs,
+       CAST(cum_pairs AS BIGINT) AS cum_pairs,
+       CAST((SELECT MIN(t) FROM cum c2 WHERE c2.cum_pairs >= 0.9 * c2.total)
+            AS BIGINT) AS effective_diameter
+FROM cum ORDER BY t
+"""
+)
+
+# --- link-prediction evaluation: same closed forms as linkpred.py ----------
+
+_LINKPRED_AUC_SQL = f"""
+WITH edges AS ({_EDGES_SQL}),
+canon AS (SELECT src, dst FROM edges),
+train AS (SELECT * FROM canon WHERE (src * 1000003 + dst * 7919 + 0) % 5 <> 0),
+test AS (SELECT * FROM canon WHERE (src * 1000003 + dst * 7919 + 0) % 5 = 0),
+verts AS (SELECT DISTINCT src AS vid FROM canon
+          UNION SELECT DISTINCT dst FROM canon),
+negs AS (
+  SELECT a.vid AS u, b.vid AS v
+  FROM verts a JOIN verts b
+    ON a.vid < b.vid AND (a.vid * 7919 + b.vid * 104729) % 17 = 0
+  WHERE NOT EXISTS (SELECT 1 FROM canon c WHERE c.src = a.vid AND c.dst = b.vid)
+),
+cands AS (SELECT src AS u, dst AS v, 1 AS lab FROM test
+          UNION ALL SELECT u, v, 0 FROM negs),
+tsym AS (SELECT src AS a, dst AS b FROM train
+         UNION ALL SELECT dst, src FROM train),
+cn AS (
+  SELECT c.u, c.v, COUNT(*) AS cn
+  FROM cands c
+  JOIN tsym e1 ON e1.a = c.u
+  JOIN tsym e2 ON e2.a = c.v AND e2.b = e1.b
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.u, c.v, c.lab, CAST(COALESCE(cn.cn, 0) AS DOUBLE) AS score
+  FROM cands c LEFT JOIN cn ON cn.u = c.u AND cn.v = c.v
+),
+ranked AS (
+  SELECT lab,
+         AVG(rn) OVER (PARTITION BY score) AS avg_rank,
+         ROW_NUMBER() OVER (ORDER BY score DESC, u, v) AS rnd,
+         SUM(lab) OVER (ORDER BY score DESC, u, v
+                        ROWS UNBOUNDED PRECEDING) AS cum_pos
+  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score) AS rn FROM scored)
+),
+agg AS (
+  SELECT SUM(CASE WHEN lab = 1 THEN avg_rank END) AS srank,
+         SUM(lab) AS npos, COUNT(*) AS tot,
+         SUM(CASE WHEN lab = 1 THEN CAST(cum_pos AS DOUBLE) / rnd END) AS apsum
+  FROM ranked
+)
+SELECT FLOOR((srank - npos * (npos + 1) / 2.0) / (npos * (tot - npos))
+             * 1000000 + 0.5) / 1000000.0 AS auc_roc,
+       FLOOR(apsum / npos * 1000000 + 0.5) / 1000000.0 AS auc_pr,
+       CAST(npos AS BIGINT) AS n_pos,
+       CAST(tot - npos AS BIGINT) AS n_neg
+FROM agg
+"""
+
+_WALKS_CHECK_SQL = f"""
+WITH edges AS ({_EDGES_SQL}),
+verts AS (SELECT DISTINCT src AS vid FROM edges
+          UNION SELECT DISTINCT dst FROM edges)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_walks,
+       CAST(5 * COUNT(*) AS BIGINT) AS total_rows,
+       CAST(0 AS BIGINT) AS invalid_transitions
+FROM verts
+"""
+
+_SNAP_RT_SQL = f"SELECT src, dst FROM ({_EDGES_SQL})"
+
+# Simmelian overlap on the supplier co-part graph (deterministic
+# (embeddedness DESC, vid ASC) ranking -> SQL ROW_NUMBER mirrorable)
+_SIMMELIAN_SQL = (
+    _SUPPLIER_PRELUDE
+    + """,
+wed AS (SELECT a.n AS u, b.n AS v FROM sym a JOIN sym b ON a.v = b.v AND a.n < b.n),
+cnt AS (SELECT u, v, COUNT(*) AS cn FROM wed GROUP BY 1, 2),
+ecn AS (SELECT e.src, e.dst, COALESCE(c.cn, 0) AS cn
+        FROM ue e LEFT JOIN cnt c ON c.u = e.src AND c.v = e.dst),
+dirv AS (SELECT src AS u, dst AS v, cn FROM ecn
+         UNION ALL SELECT dst, src, cn FROM ecn),
+rk AS (SELECT u, v,
+              ROW_NUMBER() OVER (PARTITION BY u ORDER BY cn DESC, v ASC) AS r
+       FROM dirv),
+topk AS (SELECT u, v FROM rk WHERE r <= 5),
+ov AS (SELECT e.src, e.dst, COUNT(*) AS overlap
+       FROM ue e
+       JOIN topk ta ON ta.u = e.src
+       JOIN topk tb ON tb.u = e.dst AND tb.v = ta.v
+       GROUP BY 1, 2)
+SELECT e.src, e.dst, CAST(COALESCE(o.overlap, 0) AS BIGINT) AS overlap
+FROM ue e LEFT JOIN ov o ON o.src = e.src AND o.dst = e.dst
+"""
+)
+
+# Local Similarity score: Jaccard-ranked neighbors, 1 - ln(rank)/ln(deg),
+# max over both directions
+_LOCAL_SIM_SQL = (
+    _SUPPLIER_PRELUDE
+    + """,
+wed AS (SELECT a.n AS u, b.n AS v FROM sym a JOIN sym b ON a.v = b.v AND a.n < b.n),
+cnt AS (SELECT u, v, COUNT(*) AS cn FROM wed GROUP BY 1, 2),
+ej AS (SELECT e.src, e.dst,
+              CAST(COALESCE(c.cn, 0) AS DOUBLE)
+                / GREATEST(du.d + dv.d - COALESCE(c.cn, 0), 1) AS jac
+       FROM ue e
+       LEFT JOIN cnt c ON c.u = e.src AND c.v = e.dst
+       JOIN sdeg du ON du.v = e.src
+       JOIN sdeg dv ON dv.v = e.dst),
+dirv AS (SELECT e.src AS u, e.dst AS v, e.jac, d.d FROM ej e JOIN sdeg d ON d.v = e.src
+         UNION ALL
+         SELECT e.dst, e.src, e.jac, d.d FROM ej e JOIN sdeg d ON d.v = e.dst),
+rk AS (SELECT u, v, d,
+              ROW_NUMBER() OVER (PARTITION BY u ORDER BY jac DESC, v ASC) AS r
+       FROM dirv),
+ds AS (SELECT LEAST(u, v) AS src, GREATEST(u, v) AS dst,
+              CASE WHEN d <= 1 OR r = 1 THEN 1.0
+                   ELSE 1.0 - LN(r) / LN(d) END AS s
+       FROM rk)
+SELECT src, dst, FLOOR(MAX(s) * 1000000 + 0.5) / 1000000.0 AS score
+FROM ds GROUP BY 1, 2
+"""
+)
+
+# KatzIndex: truncated walk-count polynomial over the supplier graph; the
+# per-level counts are INTEGER MATERIALIZED CTEs and the polynomial uses
+# the same literal expression order as the Ray side -> bit-identical
+_KATZ_INDEX_SQL = (
+    _SUPPLIER_PRELUDE.replace("WITH ", "WITH ")
+    + """,
+kw1 AS MATERIALIZED (SELECT v AS s, n AS t, CAST(1 AS BIGINT) AS c FROM sym),
+kw2 AS MATERIALIZED (SELECT w.s, e.n AS t, SUM(w.c) AS c
+                     FROM kw1 w JOIN sym e ON w.t = e.v GROUP BY 1, 2),
+kw3 AS MATERIALIZED (SELECT w.s, e.n AS t, SUM(w.c) AS c
+                     FROM kw2 w JOIN sym e ON w.t = e.v GROUP BY 1, 2),
+kacc AS (
+  SELECT s, t, SUM(c1) AS c1, SUM(c2) AS c2, SUM(c3) AS c3 FROM (
+    SELECT s, t, c AS c1, 0 AS c2, 0 AS c3 FROM kw1
+    UNION ALL SELECT s, t, 0, c, 0 FROM kw2
+    UNION ALL SELECT s, t, 0, 0, c FROM kw3
+  ) GROUP BY 1, 2
+)
+SELECT s AS u, t AS v,
+       FLOOR((c1 * 0.005 + c2 * (0.005 * 0.005)
+              + c3 * ((0.005 * 0.005) * 0.005)) * 1000000 + 0.5)
+         / 1000000.0 AS katz_index
+FROM kacc WHERE s < t
+"""
+)
+
+# --- merged-slot oracles ----------------------------------------------------
+
+
+def _merged_oracles() -> dict[str, str]:
+    return {
+        "dynamic_replay": (
+            f"SELECT c.vid, c.label AS cc_label, b.depth "
+            f"FROM ({_CC_SQL}) c JOIN ({_BFS_SQL}) b USING (vid)"
+        ),
+        "vertex_scores": (
+            f"SELECT d.vid, d.degree, l.lcc, p.lc, s.sfigality "
+            f"FROM ({_DEGREE_CENTRALITY_SQL}) d "
+            f"JOIN ({_LCC_SQL}) l USING (vid) "
+            f"JOIN ({_LAPLACIAN_SQL}) p USING (vid) "
+            f"JOIN ({_SFIGALITY_SQL}) s USING (vid)"
+        ),
+        "spectral_scores": (
+            f"SELECT k.vid, k.x AS katz, e.x AS eigenvector, h.auth, h.hub "
+            f"FROM ({_katz_sql(10, 0.05, 1.0)}) k "
+            f"JOIN ({_eigenvector_sql(10)}) e USING (vid) "
+            f"JOIN ({_hits_sql(5)}) h USING (vid)"
+        ),
+        "edge_scores": (
+            f"SELECT t.src, t.dst, t.cn, t.score AS triangle_score, "
+            f"sc.score AS scan_score, ld.score AS local_degree_score, "
+            f"so.overlap AS simmelian_overlap, "
+            f"ls.score AS local_similarity_score "
+            f"FROM ({_EDGE_TRI_SQL}) t "
+            f"JOIN ({_SCAN_SQL}) sc USING (src, dst) "
+            f"JOIN ({_LOCAL_DEGREE_SQL}) ld USING (src, dst) "
+            f"JOIN ({_SIMMELIAN_SQL}) so USING (src, dst) "
+            f"JOIN ({_LOCAL_SIM_SQL}) ls USING (src, dst)"
+        ),
+        "partition_metrics": (
+            f"SELECT * FROM ({_partition_quality_sql(PLP_ITERS)}) "
+            f"CROSS JOIN ({_partition_compare_sql(2, PLP_ITERS)})"
+        ),
+        "spanning_forests": (
+            f"SELECT label, n_edges, n_edges AS n_edges_rand "
+            f"FROM ({_SPANNING_SQL})"
+        ),
+        "randomization_degrees": (
+            f"SELECT 'switch' AS method, vid, deg "
+            f"FROM ({_EDGE_SWITCH_DEG_SQL.format(edges=_EDGES_SQL)}) "
+            f"UNION ALL SELECT 'curveball', vid, deg "
+            f"FROM ({_EDGE_SWITCH_DEG_SQL.format(edges=_EDGES_SQL)}) "
+            f"UNION ALL SELECT 'shuffle', vid, CAST(degree AS BIGINT) "
+            f"FROM ({_DEGREE_CENTRALITY_SQL})"
+        ),
+        "knn_search": (
+            f"SELECT 'brute' AS method, query_id, vec_id, sim FROM ({_KNN_SQL}) "
+            f"UNION ALL "
+            f"SELECT 'ivf' AS method, query_id, vec_id, sim FROM ({_KNN_IVF_SQL})"
+        ),
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "edges_build": _EDGES_SQL,
@@ -2318,33 +3075,32 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_top20": _pagerank_sql(PR_ITERS)
         + " ORDER BY score DESC, vid ASC LIMIT 20",
         "connected_components": _CC_SQL,
-        "dynamic_cc_replay": _CC_SQL,
-        "dynamic_bfs_replay": _BFS_SQL,
         "label_propagation": _plp_sql(PLP_ITERS),
         "triangle_counts": _TRIANGLES_SQL,
-        "degree_centrality": _DEGREE_CENTRALITY_SQL,
-        "katz_centrality": _katz_sql(10, 0.05, 1.0),
-        "local_clustering": _LCC_SQL,
-        "link_prediction": _LINKPRED_SQL,
+        "link_prediction": (
+            f"SELECT lp.*, kz.katz_index FROM ({_LINKPRED_SQL}) lp "
+            f"JOIN ({_KATZ_INDEX_SQL}) kz USING (u, v)"
+        ),
         "tumbling_window": _TUMBLING_SQL,
         "session_windows": _SESSION_SQL,
         "modularity_plp": _modularity_sql(PLP_ITERS),
         "text_stats": _TEXT_STATS_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
         "jaccard_similar_pairs": _JACCARD_SQL,
-        "knn_brute": _KNN_SQL,
-        "knn_ivf": _KNN_IVF_SQL,
         "cosine_near_dup_pairs": _COSINE_DUPS_SQL,
         "bfs_depths": _BFS_SQL,
         "sssp_weighted": _SSSP_SQL,
         "strongly_connected_components": _SCC_SQL,
         "diameter_bounds": _DIAMETER_SQL,
-        "partition_quality": _partition_quality_sql(PLP_ITERS),
-        "partition_compare": _partition_compare_sql(2, PLP_ITERS),
-        "spanning_forest": _SPANNING_SQL,
-        "random_msf": _SPANNING_SQL,
         "articulation_check": _ARTICULATION_SQL,
         "gen_ws_ring": _WS_RING_SQL,
+        "betweenness_exact": _BETWEENNESS_SQL,
+        "top_closeness": _TOP_CLOSENESS_SQL,
+        "hop_plot": _HOP_PLOT_SQL,
+        "linkpred_auc": _LINKPRED_AUC_SQL,
+        "walks_check": _WALKS_CHECK_SQL,
+        "snap_roundtrip": _SNAP_RT_SQL,
+        **_merged_oracles(),
         # louvain_quality: q_plp is recomputed exactly; the oracle pins
         # q_ge_plp=1, so the hash gate fails unless Louvain's labeling
         # reaches PLP quality (labels themselves are algorithm-defined)
@@ -2373,22 +3129,13 @@ def oracle_sql() -> dict[str, str]:
             " CAST(0 AS BIGINT) AS vertex_reuse"
         ),
         "cliques_bipartite": _CLIQUES_BIPARTITE_SQL,
-        "edge_switch_degrees": _EDGE_SWITCH_DEG_SQL.format(edges=_EDGES_SQL),
-        "degree_shuffle_degrees": _DEGREE_CENTRALITY_SQL,
         "closeness_sampled": _CLOSENESS_SQL,
-        "eigenvector_centrality": _eigenvector_sql(10),
         "kcore_membership": _kcore_sql(3, 30),
         "degree_assortativity": _ASSORTATIVITY_SQL,
-        "edge_triangle_scores": _EDGE_TRI_SQL,
-        "laplacian_centrality": _LAPLACIAN_SQL,
-        "sfigality": _SFIGALITY_SQL,
-        "scan_scores": _SCAN_SQL,
-        "local_degree_scores": _LOCAL_DEGREE_SQL,
         "topological_levels": _TOPO_LEVELS_SQL,
         "ppr_seed": _ppr_sql(1, 10, 0.15),
-        "hits_scores": _hits_sql(5),
-        # minhash_dedup_groups / simhash_near_dups / fingerprints / anf_sketch
-        # / corpus_* are not SQL-expressible (LSH banding, rolling hashes,
-        # FM sketches, regex corpus extraction) -> rows-only checks;
-        # value-level oracles live in tests/ (FIXTURES.md §3).
+        # minhash_dedup_groups / simhash_near_dups / fingerprints /
+        # corpus_* are not SQL-expressible (LSH banding, rolling hashes,
+        # regex corpus extraction) -> rows-only checks; value-level
+        # oracles live in tests/ (FIXTURES.md §3).
     }

@@ -179,6 +179,12 @@ def run_headline():
     knn_brute(emb, emb.limit(100), k=10).count()
     q["knn_brute"] = time.perf_counter() - t0
 
+    from networkit_ray.pipelines.similarity import knn_ivf
+
+    t0 = time.perf_counter()
+    knn_ivf(emb, emb.limit(100), k=10, num_centroids=64, nprobe=8).count()
+    q["knn_ivf"] = time.perf_counter() - t0
+
     out = {
         "metric": "headline pipelines wall time (sf tables)",
         "value": round(sum(q.values()), 3),

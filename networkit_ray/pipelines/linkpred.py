@@ -257,6 +257,107 @@ def link_prediction_auc(
     )
 
 
+def katz_index_scores(
+    edges_ds,
+    beta: float = 0.005,
+    max_path: int = 3,
+    num_partitions: int = 8,
+):
+    """KatzIndex link-prediction score (reference
+    linkprediction/KatzIndex): katz(u, v) = sum_{l=1..max_path} beta^l *
+    walks_l(u, v), the damped truncated walk-count series.  Per-level walk
+    counts are INTEGER tables W_l = W_{l-1} |x| A (one co-partitioned join
+    + grouped sum per level, pre-combined per batch); the polynomial is
+    evaluated in one vectorized pass over the joined counts, so a SQL
+    oracle computing the same expression is bit-identical.
+    -> Dataset(u, v, katz_index) over unordered pairs u < v with a
+    positive truncated count."""
+    from ray.data.aggregate import Sum
+
+    canon = canonicalize_undirected(edges_ds, weight="one").materialize()
+    sym = symmetrize(canon).select_columns(["src", "dst"]).materialize()
+
+    levels = []
+    w = sym.map_batches(
+        lambda t: pa.table(
+            {"s": t["src"], "t": t["dst"], "c": np.ones(t.num_rows, np.int64)}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    levels.append(w)
+    for _l in range(2, max_path + 1):
+        nxt = w.join(
+            sym, join_type="inner", num_partitions=num_partitions,
+            on=("t",), right_on=("src",),
+        ).map_batches(
+            lambda t: pa.table({"s": t["s"], "t": t["dst"], "c": t["c"]})
+            .group_by(["s", "t"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["s", "t", "c"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).groupby(["s", "t"], num_partitions=num_partitions).aggregate(
+            Sum("c", alias_name="c")
+        ).map_batches(
+            lambda t: pa.table(
+                {"s": t["s"], "t": t["t"], "c": pc.cast(t["c"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+        levels.append(nxt)
+        w = nxt
+
+    # pad each level to (s, t, c1..cL) and union + grouped integer sums —
+    # exact and order-free (a join-chain would drop pairs present only at
+    # some levels: path endpoints have 2-walks but no 3-walks)
+    L = max_path
+
+    def pad(i):
+        def f(t: pa.Table) -> pa.Table:
+            cols = {"s": t["s"], "t": t["t"]}
+            for j in range(1, L + 1):
+                cols[f"c{j}"] = (
+                    t["c"]
+                    if j == i
+                    else pa.array(np.zeros(t.num_rows, np.int64))
+                )
+            return pa.table(cols)
+
+        return f
+
+    acc = levels[0].map_batches(pad(1), batch_format="pyarrow", zero_copy_batch=True)
+    for i, lv in enumerate(levels[1:], start=2):
+        acc = acc.union(
+            lv.map_batches(pad(i), batch_format="pyarrow", zero_copy_batch=True)
+        )
+    from ray.data.aggregate import Sum as _Sum
+
+    acc = acc.groupby(["s", "t"], num_partitions=num_partitions).aggregate(
+        *[_Sum(f"c{j}", alias_name=f"c{j}") for j in range(1, L + 1)]
+    )
+
+    betas = [beta]
+    for _ in range(2, max_path + 1):
+        betas.append(betas[-1] * beta)
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = np.zeros(t.num_rows, np.float64)
+        for i, b in enumerate(betas, start=1):
+            k = k + t[f"c{i}"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64) * b
+        keep = s < d
+        return pa.table(
+            {"u": s[keep], "v": d[keep], "katz_index": k[keep]}
+        )
+
+    return acc.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def link_prediction_scores(edges_ds, num_partitions: int = 8):
     """-> Dataset(u, v, cn, jaccard, adamic_adar, resource_alloc, pref_attach)
     for pairs with cn >= 1."""

@@ -451,3 +451,399 @@ def global_threshold_filter(scored_ds, col: str = "score", threshold: float = 0.
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def simmelian_overlap_scores(edges_ds, max_rank: int = 10, num_partitions: int = 8):
+    """Simmelian backbone overlap (reference
+    sparsification/SimmelianOverlapScore, Nick et al. 2013, non-parametric
+    top-k variant): each vertex ranks its neighbors by tie strength
+    (edge embeddedness = common-neighbor count, ties -> smaller vid);
+    overlap(u, v) = |Top_maxRank(u) ∩ Top_maxRank(v)|.  Deterministic
+    tie-break makes the output SQL-window mirrorable.  Shapes: one wedge
+    self-join (shared _edge_cn_with_degrees core), one rank self-join per
+    direction, one membership join pair.  -> Dataset(src, dst, overlap)."""
+    from ray.data.aggregate import Sum
+
+    cn = (
+        _edge_cn_with_degrees(edges_ds, num_partitions)
+        .select_columns(["src", "dst", "cn"])
+        .materialize()
+    )
+    # directed tie-strength view (u, v, cn) both ways
+    dirv = cn.map_batches(
+        lambda t: pa.concat_tables(
+            [
+                pa.table({"u": t["src"], "v": t["dst"], "cnv": t["cn"]}),
+                pa.table({"u": t["dst"], "v": t["src"], "cnv": t["cn"]}),
+            ]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    pairs = dirv.join(
+        dirv,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("u",),
+        left_suffix="_a",
+        right_suffix="_b",
+    )
+
+    def above(t: pa.Table) -> pa.Table:
+        ca = t["cnv_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        cb = t["cnv_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        va = t["v_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        vb = t["v_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        hi = (cb > ca) | ((cb == ca) & (vb < va))
+        out = pa.table(
+            {"u": t["u"], "v": t["v_a"], "above": pa.array(hi.astype(np.int64))}
+        )
+        return (
+            out.group_by(["u", "v"]).aggregate([("above", "sum")])
+            .rename_columns(["u", "v", "above"])
+        )
+
+    topk = (
+        pairs.map_batches(above, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["u", "v"], num_partitions=num_partitions)
+        .aggregate(Sum("above", alias_name="above"))
+        .map_batches(
+            lambda t: pa.table({"u": t["u"], "x": t["v"]}).filter(
+                pc.less(t["above"], max_rank).combine_chunks()
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    # overlap per canonical edge: x in Top(u) AND x in Top(v)
+    j1 = _project(
+        cn.select_columns(["src", "dst"]).join(
+            topk, join_type="inner", num_partitions=num_partitions,
+            on=("src",), right_on=("u",),
+        ),
+        {"src": "src", "dst": "dst", "x": "x"},
+    )
+    hits = j1.join(
+        topk, join_type="inner", num_partitions=num_partitions,
+        on=("dst", "x"), right_on=("u", "x"),
+    )
+
+    def cnt(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "overlap": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return (
+            out.group_by(["src", "dst"]).aggregate([("overlap", "sum")])
+            .rename_columns(["src", "dst", "overlap"])
+        )
+
+    ov = (
+        hits.map_batches(cnt, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src", "dst"], num_partitions=num_partitions)
+        .aggregate(Sum("overlap", alias_name="overlap"))
+        .materialize()
+    )
+    if ov.count() == 0:  # empty join side guard (compat.py)
+        return cn.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t["src"],
+                    "dst": t["dst"],
+                    "overlap": pa.array(np.zeros(t.num_rows, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    return _project(
+        cn.select_columns(["src", "dst"]).join(
+            ov, join_type="left_outer", num_partitions=num_partitions,
+            on=("src", "dst"),
+        ),
+        {"src": "src", "dst": "dst", "overlap": "overlap"},
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "overlap": pc.fill_null(pc.cast(t["overlap"], pa.int64()), 0),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def local_similarity_scores(edges_ds, num_partitions: int = 8):
+    """Local Similarity sparsification score (reference
+    sparsification/LocalSimilarityScore, Satuluri et al.): rank v among
+    u's neighbors by edge Jaccard similarity (DESC, ties -> smaller vid);
+    directed score 1 - ln(rank)/ln(d_u) (1.0 when d_u <= 1 or rank == 1);
+    edge score = max over both directions.  Identical shape to
+    local_degree_scores with the ordering key swapped to Jaccard.
+    -> Dataset(src, dst, score)."""
+    from ray.data.aggregate import Max, Sum
+
+    j2 = _edge_cn_with_degrees(edges_ds, num_partitions)
+
+    def jac(t: pa.Table) -> pa.Table:
+        cnv = t["cn"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        du = t["du"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        dv = t["dv"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "jac": cnv / np.maximum(du + dv - cnv, 1.0),
+                "du": t["du"],
+                "dv": t["dv"],
+            }
+        )
+
+    tri = j2.map_batches(jac, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    dirv = tri.map_batches(
+        lambda t: pa.concat_tables(
+            [
+                pa.table({"u": t["src"], "v": t["dst"], "jc": t["jac"], "d": t["du"]}),
+                pa.table({"u": t["dst"], "v": t["src"], "jc": t["jac"], "d": t["dv"]}),
+            ]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    pairs = dirv.join(
+        dirv,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("u",),
+        left_suffix="_a",
+        right_suffix="_b",
+    )
+
+    def above(t: pa.Table) -> pa.Table:
+        ja = t["jc_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        jb = t["jc_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        va = t["v_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        vb = t["v_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        hi = (jb > ja) | ((jb == ja) & (vb < va))
+        out = pa.table(
+            {
+                "u": t["u"],
+                "v": t["v_a"],
+                "d": t["d_a"],
+                "above": pa.array(hi.astype(np.int64)),
+            }
+        )
+        return (
+            out.group_by(["u", "v", "d"]).aggregate([("above", "sum")])
+            .rename_columns(["u", "v", "d", "above"])
+        )
+
+    ranks = (
+        pairs.map_batches(above, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["u", "v", "d"], num_partitions=num_partitions)
+        .aggregate(Sum("above", alias_name="above"))
+    )
+
+    def directed_score(t: pa.Table) -> pa.Table:
+        rank = (
+            t["above"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+            + 1.0
+        )
+        d = t["d"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = 1.0 - np.log(rank) / np.log(np.maximum(d, 2.0))
+        s = np.where((d <= 1.0) | (rank <= 1.0), 1.0, s)
+        u = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        out = pa.table(
+            {"src": np.minimum(u, v), "dst": np.maximum(u, v), "score": s}
+        )
+        return (
+            out.group_by(["src", "dst"]).aggregate([("score", "max")])
+            .rename_columns(["src", "dst", "score"])
+        )
+
+    return (
+        ranks.map_batches(directed_score, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src", "dst"], num_partitions=num_partitions)
+        .aggregate(Max("score", alias_name="score"))
+    )
+
+
+def multiscale_scores(edges_ds, num_partitions: int = 8):
+    """Multiscale backbone significance (reference
+    sparsification/MultiscaleScore; Serrano et al. "disparity filter"):
+    for the directed view (u -> v) with normalized weight
+    p = w_uv / strength(u), the score is 1 - (1 - p)^(d_u - 1) (the
+    probability a uniform null model would produce a weight this large);
+    edge score = max over both directions (d_u == 1 -> 1.0).
+    One strength/degree join per direction.  -> Dataset(src, dst, score)."""
+    from ray.data.aggregate import Max
+
+    canon = canonicalize_undirected(edges_ds, weight="sum").materialize()
+    sym = symmetrize(canon).materialize()
+    sd = (
+        out_degrees(sym, weighted=True)
+        .select_columns(["vid", "out_deg", "w_out_deg"])
+        .materialize()
+    )
+    j = _project(
+        sym.join(
+            sd, join_type="inner", num_partitions=num_partitions,
+            on=("src",), right_on=("vid",),
+        ),
+        {"src": "src", "dst": "dst", "w": "w", "d": "out_deg", "s": "w_out_deg"},
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        w = t["w"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        d = t["d"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["s"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        p = w / np.maximum(s, 1e-300)
+        sc = 1.0 - np.power(np.clip(1.0 - p, 0.0, 1.0), np.maximum(d - 1.0, 0.0))
+        sc = np.where(d <= 1.0, 1.0, sc)
+        u = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        out = pa.table(
+            {"src": np.minimum(u, v), "dst": np.maximum(u, v), "score": sc}
+        )
+        return (
+            out.group_by(["src", "dst"]).aggregate([("score", "max")])
+            .rename_columns(["src", "dst", "score"])
+        )
+
+    return (
+        j.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src", "dst"], num_partitions=num_partitions)
+        .aggregate(Max("score", alias_name="score"))
+    )
+
+
+def forest_fire_scores(
+    edges_ds,
+    burn_prob: float = 0.4,
+    rounds: int = 3,
+    waves: int = 4,
+    seed: int = 42,
+    num_partitions: int = 8,
+):
+    """Forest-fire sparsification score (reference
+    sparsification/ForestFireScore): repeated burn processes — every
+    vertex ignites once per ROUND, fires spread ``waves`` hops, each
+    directed edge (u -> v) burns with probability ``burn_prob`` per
+    visit; the score is the burn frequency normalized by rounds.  Burn
+    draws are deterministic per-(round, wave, edge) hashes (counter-based,
+    partition-invariant), so the output is reproducible — the VALUES are
+    algorithm-defined (pytest oracles only, like minhash).  Each wave is
+    one frontier-edge co-partitioned join.  -> Dataset(src, dst, score)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    canon = canonicalize_undirected(edges_ds, weight="one").materialize()
+    sym = symmetrize(canon).select_columns(["src", "dst"]).materialize()
+    from networkit_ray.stages.graphops import vertices_from_edges
+
+    verts = vertices_from_edges(canon).materialize()
+    burn_parts = []
+    for r in range(rounds):
+        frontier = verts.map_batches(
+            lambda t: pa.table({"fv": t["vid"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+        for wv in range(waves):
+            salt = (seed * 1_000_003 + r) * 97 + wv
+            cand = frontier.join(
+                sym, join_type="inner", num_partitions=num_partitions,
+                on=("fv",), right_on=("src",),
+            )
+
+            def burn(t: pa.Table, _salt=salt) -> pa.Table:
+                u = t["fv"].combine_chunks().to_numpy(zero_copy_only=False)
+                v = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+                h = pd.util.hash_array(
+                    (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                    ^ (v.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+                    ^ np.uint64(_salt)
+                )
+                lit = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+                keep = lit < burn_prob
+                return pa.table({"bu": u[keep], "bv": v[keep]})
+
+            burned = (
+                cand.map_batches(burn, batch_format="pyarrow", zero_copy_batch=True)
+                .groupby(["bu", "bv"], num_partitions=num_partitions)
+                .count()
+                .select_columns(["bu", "bv"])
+                .materialize()
+            )
+            burn_parts.append(burned)
+            if wv + 1 < waves:
+                if burned.count() == 0:
+                    break
+                frontier = (
+                    burned.map_batches(
+                        lambda t: pa.table({"fv": t["bv"]}),
+                        batch_format="pyarrow",
+                        zero_copy_batch=True,
+                    )
+                    .groupby("fv", num_partitions=num_partitions)
+                    .count()
+                    .select_columns(["fv"])
+                    .materialize()
+                )
+    if not burn_parts:
+        return canon.map_batches(
+            lambda t: pa.table(
+                {"src": t["src"], "dst": t["dst"], "score": np.zeros(t.num_rows)}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    allb = burn_parts[0]
+    for p in burn_parts[1:]:
+        allb = allb.union(p)
+    freq = (
+        allb.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": pc.min_element_wise(t["bu"], t["bv"]),
+                    "dst": pc.max_element_wise(t["bu"], t["bv"]),
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["src", "dst"], num_partitions=num_partitions)
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    return _project(
+        canon.select_columns(["src", "dst"]).join(
+            freq, join_type="left_outer", num_partitions=num_partitions,
+            on=("src", "dst"),
+        ),
+        {"src": "src", "dst": "dst", "n": "n"},
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "score": pc.divide(
+                    pc.cast(pc.fill_null(t["n"], 0), pa.float64()),
+                    float(rounds),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -325,3 +325,46 @@ def lfr_like_communities(n: int, n_comms: int, beta: float = 1.5,
     return ray.data.range(n, override_num_blocks=parallelism).map_batches(
         mk, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def havel_hakimi_edges(degree_sequence, parallelism: int = 8):
+    """HavelHakimiGenerator (reference generators/HavelHakimiGenerator):
+    realize an exact simple graph for the given degree sequence via the
+    Havel–Hakimi construction (highest-degree vertex connects to the next
+    d highest; deterministic vid tie-break), or raise ValueError if the
+    sequence is not graphical.  The construction is inherently sequential
+    (like the reference's), so it runs DRIVER-SIDE over the degree
+    sequence — n counters, not edges — and emits the edge table as a
+    distributed Dataset; heapq gives O(m log n).
+    -> Dataset(src, dst, w=1) with src < dst."""
+    import heapq
+
+    import ray.data
+
+    deg = np.asarray(degree_sequence, dtype=np.int64)
+    n = len(deg)
+    if (deg < 0).any() or (deg >= n).any() or deg.sum() % 2:
+        raise ValueError("degree sequence is not graphical")
+    heap = [(-int(d), v) for v, d in enumerate(deg) if d > 0]
+    heapq.heapify(heap)
+    srcs: list[int] = []
+    dsts: list[int] = []
+    while heap:
+        d, v = heapq.heappop(heap)
+        d = -d
+        if d > len(heap):
+            raise ValueError("degree sequence is not graphical")
+        taken = [heapq.heappop(heap) for _ in range(d)]
+        for du, u in taken:
+            srcs.append(min(v, u))
+            dsts.append(max(v, u))
+            if du + 1 < 0:  # du is negative: du+1 == -(deg-1)
+                heapq.heappush(heap, (du + 1, u))
+    tbl = pa.table(
+        {
+            "src": np.asarray(srcs, dtype=np.int64),
+            "dst": np.asarray(dsts, dtype=np.int64),
+            "w": np.ones(len(srcs), dtype=np.float64),
+        }
+    )
+    return ray.data.from_arrow(tbl).repartition(max(1, parallelism))

@@ -449,3 +449,39 @@ def test_link_prediction_auc_exact(ray_session, name):
     assert int(res["n_pos"][0]) == npos and int(res["n_neg"][0]) == nneg
     assert abs(float(res["auc_roc"][0]) - want) < 1e-12
     assert 0.0 <= float(res["auc_pr"][0]) <= 1.0
+
+
+@pytest.mark.parametrize("name", ["karate", "path100"])
+def test_katz_index_vs_brute(ray_session, name):
+    """KatzIndex = sum_l beta^l A^l[u,v] (truncated walk polynomial),
+    exact vs numpy matrix powers."""
+    from networkit_ray.pipelines.linkpred import katz_index_scores
+
+    G = fixture_graph(name)
+    beta, L = 0.005, 3
+    out = katz_index_scores(
+        _ds_edges(G), beta=beta, max_path=L, num_partitions=3
+    ).to_pandas()
+    nodes = sorted(int(v) for v in G.nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for u, v in G.edges():
+        A[idx[int(u)], idx[int(v)]] = 1
+        A[idx[int(v)], idx[int(u)]] = 1
+    K = np.zeros_like(A)
+    P_ = np.eye(len(nodes))
+    b = 1.0
+    for _ in range(L):
+        P_ = P_ @ A
+        b *= beta
+        K += b * P_
+    got = {(int(r.u), int(r.v)): r.katz_index for r in out.itertuples()}
+    want = {
+        (nodes[i], nodes[j]): K[i, j]
+        for i in range(len(nodes))
+        for j in range(i + 1, len(nodes))
+        if K[i, j] > 0
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k

@@ -176,3 +176,124 @@ def test_topological_levels_cycle_raises(ray_session):
     edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
     with pytest.raises(ValueError, match="cycle"):
         topological_levels(_dag_dataset(edges), num_partitions=2, max_rounds=20)
+
+
+# --------------------------------------------------------------------------
+# round-4 sparsifier scores + HavelHakimi
+# --------------------------------------------------------------------------
+
+
+def _brute_embeddedness(G):
+    return {
+        (min(u, v), max(u, v)): len(set(G[u]) & set(G[v])) for u, v in G.edges()
+    }
+
+
+@pytest.mark.parametrize("name", ["karate", "er200"])
+def test_simmelian_overlap_vs_brute(ray_session, name):
+    from networkit_ray.pipelines.structure import simmelian_overlap_scores
+
+    G = fixture_graph(name)
+    max_rank = 5
+    out = simmelian_overlap_scores(
+        edges_dataset(G), max_rank=max_rank, num_partitions=3
+    ).to_pandas()
+    emb = _brute_embeddedness(G)
+    # brute top-k per vertex: neighbors by (embeddedness desc, vid asc)
+    top = {}
+    for u in G.nodes:
+        nbrs = sorted(
+            G[u], key=lambda v: (-emb[(min(u, v), max(u, v))], int(v))
+        )
+        top[u] = set(int(v) for v in nbrs[:max_rank])
+    want = {
+        (min(u, v), max(u, v)): len(top[u] & top[v]) for u, v in G.edges()
+    }
+    got = {
+        (int(r.src), int(r.dst)): int(r.overlap) for r in out.itertuples()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("name", ["karate", "er200"])
+def test_local_similarity_vs_brute(ray_session, name):
+    from networkit_ray.pipelines.structure import local_similarity_scores
+
+    G = fixture_graph(name)
+    out = local_similarity_scores(edges_dataset(G), num_partitions=3).to_pandas()
+    emb = _brute_embeddedness(G)
+
+    def jac(u, v):
+        cn = emb[(min(u, v), max(u, v))]
+        return cn / max(G.degree(u) + G.degree(v) - cn, 1)
+
+    want = {}
+    for u in G.nodes:
+        nbrs = sorted(G[u], key=lambda v: (-jac(u, v), int(v)))
+        d = G.degree(u)
+        for rank, v in enumerate(nbrs, start=1):
+            s = 1.0 if (d <= 1 or rank == 1) else 1.0 - math.log(rank) / math.log(d)
+            k = (min(u, v), max(u, v))
+            want[k] = max(want.get(k, -1.0), s)
+    got = {(int(r.src), int(r.dst)): r.score for r in out.itertuples()}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+
+
+def test_multiscale_vs_brute(ray_session):
+    from networkit_ray.pipelines.structure import multiscale_scores
+
+    G = fixture_graph("karate")
+    # deterministic integer weights
+    for i, (u, v) in enumerate(sorted(G.edges())):
+        G[u][v]["weight"] = 1.0 + (i % 5)
+    out = multiscale_scores(edges_dataset(G), num_partitions=3).to_pandas()
+    want = {}
+    for u in G.nodes:
+        d = G.degree(u)
+        s = sum(G[u][v]["weight"] for v in G[u])
+        for v in G[u]:
+            p = G[u][v]["weight"] / s
+            sc = 1.0 if d <= 1 else 1.0 - (1.0 - p) ** (d - 1)
+            k = (min(u, v), max(u, v))
+            want[k] = max(want.get(k, -1.0), sc)
+    got = {(int(r.src), int(r.dst)): r.score for r in out.itertuples()}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+
+
+def test_forest_fire_deterministic_and_sane(ray_session):
+    from networkit_ray.pipelines.structure import forest_fire_scores
+
+    G = fixture_graph("karate")
+    a = forest_fire_scores(edges_dataset(G), rounds=2, num_partitions=2).to_pandas()
+    b = forest_fire_scores(edges_dataset(G), rounds=2, num_partitions=4).to_pandas()
+    ka = sorted(zip(a.src, a.dst, a.score.round(9)))
+    kb = sorted(zip(b.src, b.dst, b.score.round(9)))
+    assert ka == kb  # partition-invariant
+    assert len(a) == G.number_of_edges()
+    assert (a.score >= 0).all()
+    assert a.score.sum() > 0  # something burned
+    c = forest_fire_scores(
+        edges_dataset(G), rounds=2, seed=7, num_partitions=2
+    ).to_pandas()
+    assert sorted(zip(c.src, c.dst, c.score.round(9))) != ka  # seed matters
+
+
+def test_havel_hakimi(ray_session):
+    from networkit_ray.sources.generators import havel_hakimi_edges
+
+    G = fixture_graph("karate")
+    seq = [d for _, d in sorted(G.degree())]
+    out = havel_hakimi_edges(seq).to_pandas()
+    assert (out.src < out.dst).all()
+    assert not out.duplicated(["src", "dst"]).any()
+    H = nx.Graph(list(zip(out.src.astype(int), out.dst.astype(int))))
+    got = sorted(d for _, d in H.degree())
+    assert got == sorted(d for d in seq if d > 0)
+    with pytest.raises(ValueError):
+        havel_hakimi_edges([3, 1])  # odd sum
+    with pytest.raises(ValueError):
+        havel_hakimi_edges([3, 3, 1, 1])  # not graphical
