@@ -1704,11 +1704,42 @@ def q_edge_scores(sf_dir):
 
 def q_partition_metrics(sf_dir):
     """Coverage + EdgeCut + NMI/ARI/Rand/Jaccard in one row (both are
-    1-row metric queries over PLP labelings)."""
+    1-row metric queries over PLP labelings), plus the
+    LouvainMapEquation contract: its two-level codelength must beat BOTH
+    trivial baselines (all-singletons and one-blob) — the SQL oracle pins
+    both flags to 1, so the hash gate fails unless the map-equation
+    optimizer actually compresses (community/LouvainMapEquation)."""
     import ray.data
+
+    from networkit_ray.pipelines.community import (
+        louvain_map_equation,
+        map_equation_codelength,
+    )
+    from networkit_ray.stages.graphops import vertices_from_edges
 
     pq = q_partition_quality(sf_dir).to_pandas()
     pcm = q_partition_compare(sf_dir).to_pandas()
+
+    edges = _edges(sf_dir)
+    lab = louvain_map_equation(
+        edges, num_partitions=P, max_levels=2, move_rounds=2, colors=2
+    ).materialize()
+    L_m = map_equation_codelength(edges, lab, num_partitions=P)
+    verts = vertices_from_edges(edges)
+    sing = verts.map_batches(
+        lambda t: pa.table({"vid": t["vid"], "label": t["vid"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    one = verts.map_batches(
+        lambda t: pa.table(
+            {"vid": t["vid"], "label": pa.array(np.zeros(t.num_rows, np.int64))}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    L_s = map_equation_codelength(edges, sing, num_partitions=P)
+    L_1 = map_equation_codelength(edges, one, num_partitions=P)
     return ray.data.from_arrow(
         pa.table(
             {
@@ -1718,6 +1749,12 @@ def q_partition_metrics(sf_dir):
                 "ari": pa.array([float(pcm["ari"][0])]),
                 "rand": pa.array([float(pcm["rand"][0])]),
                 "jaccard": pa.array([float(pcm["jaccard"][0])]),
+                "mapeq_le_singletons": pa.array(
+                    [np.int64(1 if L_m <= L_s + 1e-9 else 0)]
+                ),
+                "mapeq_le_oneblob": pa.array(
+                    [np.int64(1 if L_m <= L_1 + 1e-9 else 0)]
+                ),
             }
         )
     )
@@ -3044,7 +3081,9 @@ def _merged_oracles() -> dict[str, str]:
             f"JOIN ({_LOCAL_SIM_SQL}) ls USING (src, dst)"
         ),
         "partition_metrics": (
-            f"SELECT * FROM ({_partition_quality_sql(PLP_ITERS)}) "
+            f"SELECT *, CAST(1 AS BIGINT) AS mapeq_le_singletons,"
+            f" CAST(1 AS BIGINT) AS mapeq_le_oneblob "
+            f"FROM ({_partition_quality_sql(PLP_ITERS)}) "
             f"CROSS JOIN ({_partition_compare_sql(2, PLP_ITERS)})"
         ),
         "spanning_forests": (

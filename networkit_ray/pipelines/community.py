@@ -937,3 +937,473 @@ def leiden(
         num_partitions=num_partitions,
     )
     return labels_final
+
+
+# --------------------------------------------------------------------------
+# Map equation (Infomap two-level codelength) — reference
+# community/LouvainMapEquation (Rosvall & Bergstrom 2008): same PLM
+# local-moving skeleton, the objective swapped from modularity gain to
+# codelength DELTA (minimized).
+# --------------------------------------------------------------------------
+
+
+def _plogp(x):
+    """x * log2(x), elementwise, 0 at 0."""
+    x = np.asarray(x, dtype=np.float64)
+    out = np.zeros_like(x)
+    pos = x > 0
+    out[pos] = x[pos] * np.log2(x[pos])
+    return out
+
+
+def _community_cuts(sym_no_loops, labels, num_partitions):
+    """(comm, cut): total weight of directed sym edges leaving each
+    community (per-side; each undirected crossing edge contributes w to
+    BOTH endpoint communities)."""
+    lr = _proj(labels, {"lvid": "vid", "lcomm": "comm"}).materialize()
+    j1 = _proj(
+        sym_no_loops.join(
+            lr, join_type="inner", num_partitions=num_partitions,
+            on=("src",), right_on=("lvid",),
+        ),
+        {"dst": "dst", "w": "w", "cs": "lcomm"},
+    )
+    j2 = _proj(
+        j1.join(
+            lr, join_type="inner", num_partitions=num_partitions,
+            on=("dst",), right_on=("lvid",),
+        ),
+        {"cs": "cs", "cd": "lcomm", "w": "w"},
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        out = pa.table({"comm": t["cs"], "cut": t["w"]}).filter(
+            pc.not_equal(t["cs"], t["cd"]).combine_chunks()
+        )
+        return (
+            out.group_by("comm").aggregate([("cut", "sum")])
+            .rename_columns(["comm", "cut"])
+        )
+
+    return (
+        j2.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("comm", num_partitions=num_partitions)
+        .aggregate(Sum("cut", alias_name="cut"))
+    )
+
+
+def map_equation_codelength(edges_ds, labels_ds, num_partitions: int = 8):
+    """Two-level map-equation codelength L(M) in bits for a labeling
+    (reference community/MapEquation quality measure):
+    L = plogp(q) - 2 sum_C plogp(q_C) - sum_v plogp(p_v)
+        + sum_C plogp(q_C + p_C), with p_v = wd(v)/2W, q_C = cut(C)/2W.
+    All terms are pre-combined grouped sums — nothing vertex-sized on the
+    driver.  -> float (bits per step)."""
+    canon = canonicalize_undirected(edges_ds, weight="sum").materialize()
+    W = canon.sum("w") or 0.0
+    if W <= 0:
+        return 0.0
+    wd = _volumes(canon, num_partitions).materialize()
+    lab = _proj(labels_ds, {"vid": "vid", "comm": "label"}).materialize()
+    vst = _proj(
+        wd.join(lab, join_type="inner", num_partitions=num_partitions, on=("vid",)),
+        {"vid": "vid", "comm": "comm", "wd": "wd"},
+    ).materialize()
+    no_loops = canon.map_batches(
+        lambda t: t.filter(pc.not_equal(t["src"], t["dst"])),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    sym = symmetrize(no_loops).materialize()
+    cuts = (
+        _community_cuts(sym, vst, num_partitions).to_pandas()
+        if sym.count() > 0
+        else None
+    )
+    pc_tbl = (
+        _proj(vst, {"comm": "comm", "wd": "wd"})
+        .groupby("comm", num_partitions=num_partitions)
+        .aggregate(Sum("wd", alias_name="vol"))
+        .to_pandas()
+    )
+    # per-vertex plogp sum (scalar aggregate, streamed)
+    pv_sum = float(
+        vst.map_batches(
+            lambda t: pa.table(
+                {
+                    "s": pa.array(
+                        [
+                            float(
+                                _plogp(
+                                    t["wd"]
+                                    .combine_chunks()
+                                    .to_numpy(zero_copy_only=False)
+                                    / (2.0 * W)
+                                ).sum()
+                            )
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).sum("s")
+        or 0.0
+    )
+    import pandas as pd
+
+    comm = pc_tbl.set_index("comm")["vol"] / (2.0 * W)
+    if cuts is not None and len(cuts):
+        qc = (cuts.set_index("comm")["cut"] / (2.0 * W)).reindex(
+            comm.index, fill_value=0.0
+        )
+    else:
+        qc = pd.Series(np.zeros(len(comm)), index=comm.index)
+    q = float(qc.sum())
+    L = (
+        float(_plogp(np.array([q]))[0])
+        - 2.0 * float(_plogp(qc.values).sum())
+        - pv_sum
+        + float(_plogp(qc.values + comm.values).sum())
+    )
+    return L
+
+
+def _map_move_round(
+    sym_ds, vstate, W, cuts_ds, q_total, num_partitions, min_gain,
+    color_mod=1, color=0,
+):
+    """One synchronized map-equation local-moving sub-round: eligible
+    vertices pick argmin over neighbor communities of the codelength
+    delta (stay = 0, moves must beat -min_gain); same staleness model and
+    candidate construction as the modularity _move_round."""
+
+    def _eligible(t: pa.Table, col: str) -> pa.Table:
+        if color_mod <= 1:
+            return t
+        vids = t[col].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(vids % color_mod == color))
+
+    elig_sym = sym_ds.map_batches(
+        lambda t: _eligible(t, "src"), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if elig_sym.count() == 0:
+        return _proj(vstate, {"vid": "vid", "comm": "comm"})
+    nb = _proj(
+        elig_sym.join(
+            _proj(vstate, {"vid": "vid", "ncomm": "comm"}),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("dst",),
+            right_on=("vid",),
+        ),
+        {"vid": "src", "ncomm": "ncomm", "wvc": "w"},
+    )
+    stay = vstate.map_batches(
+        lambda t: _eligible(
+            pa.table(
+                {
+                    "vid": t["vid"],
+                    "ncomm": t["comm"],
+                    "wvc": pa.array(np.zeros(t.num_rows)),
+                }
+            ),
+            "vid",
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["vid", "ncomm"]).aggregate([("wvc", "sum")])
+            .rename_columns(["vid", "ncomm", "wvc"])
+        )
+
+    w_vc = (
+        nb.union(stay)
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["vid", "ncomm"], num_partitions=num_partitions)
+        .aggregate(Sum("wvc", alias_name="wvc"))
+        .materialize()
+    )
+    # per-vertex weight into its OWN community (constant across candidates)
+    w_own = _proj(
+        w_vc.join(
+            _proj(vstate, {"ovid": "vid", "ocomm": "comm"}).materialize(),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("vid", "ncomm"),
+            right_on=("ovid", "ocomm"),
+        ),
+        {"vid": "vid", "wown": "wvc"},
+    ).materialize()
+
+    # community aggregates: volume + cut (stale within the sub-round)
+    tot = (
+        _proj(vstate, {"comm": "comm", "wd": "wd"})
+        .groupby("comm", num_partitions=num_partitions)
+        .aggregate(Sum("wd", alias_name="tot"))
+        .materialize()
+    )
+    comm_info = _proj(
+        tot.join(
+            _proj(cuts_ds, {"ccomm": "comm", "cut": "cut"}).materialize(),
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=("comm",),
+            right_on=("ccomm",),
+        ),
+        {"comm": "comm", "tot": "tot", "cut": "cut"},
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "comm": t["comm"],
+                "tot": t["tot"],
+                "cut": pc.fill_null(t["cut"], 0.0),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    j1 = _proj(
+        w_vc.join(
+            vstate, join_type="inner", num_partitions=num_partitions, on=("vid",)
+        ),
+        {"vid": "vid", "ncomm": "ncomm", "wvc": "wvc", "comm": "comm", "wd": "wd"},
+    )
+    j1b = _proj(
+        j1.join(
+            w_own, join_type="inner", num_partitions=num_partitions, on=("vid",)
+        ),
+        {
+            "vid": "vid", "ncomm": "ncomm", "wvc": "wvc", "comm": "comm",
+            "wd": "wd", "wown": "wown",
+        },
+    )
+    # attach target-community info (B) and own-community info (A)
+    j2 = _proj(
+        j1b.join(
+            _proj(comm_info, {"bc": "comm", "btot": "tot", "bcut": "cut"}).materialize(),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("ncomm",),
+            right_on=("bc",),
+        ),
+        {
+            "vid": "vid", "ncomm": "ncomm", "wvc": "wvc", "comm": "comm",
+            "wd": "wd", "wown": "wown", "btot": "btot", "bcut": "bcut",
+        },
+    )
+    j3 = _proj(
+        j2.join(
+            _proj(comm_info, {"ac": "comm", "atot": "tot", "acut": "cut"}).materialize(),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("comm",),
+            right_on=("ac",),
+        ),
+        {
+            "vid": "vid", "ncomm": "ncomm", "wvc": "wvc", "comm": "comm",
+            "wd": "wd", "wown": "wown", "btot": "btot", "bcut": "bcut",
+            "atot": "atot", "acut": "acut",
+        },
+    )
+    W2 = 2.0 * W
+
+    def score(t: pa.Table) -> pa.Table:
+        wvc = t["wvc"].combine_chunks().to_numpy(zero_copy_only=False)
+        wd = t["wd"].combine_chunks().to_numpy(zero_copy_only=False)
+        wown = t["wown"].combine_chunks().to_numpy(zero_copy_only=False)
+        btot = t["btot"].combine_chunks().to_numpy(zero_copy_only=False)
+        bcut = t["bcut"].combine_chunks().to_numpy(zero_copy_only=False)
+        atot = t["atot"].combine_chunks().to_numpy(zero_copy_only=False)
+        acut = t["acut"].combine_chunks().to_numpy(zero_copy_only=False)
+        ncomm = t["ncomm"].combine_chunks().to_numpy(zero_copy_only=False)
+        comm = t["comm"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_own = ncomm == comm
+        # rates
+        qA, pA = acut / W2, atot / W2
+        qB, pB = bcut / W2, btot / W2
+        pv = wd / W2
+        # after removing v from A: cut(A') = cut(A) - wd + 2*w(v, A')
+        qA2 = (acut - wd + 2.0 * wown) / W2
+        pA2 = pA - pv
+        # after adding v to B: cut(B') = cut(B) + wd - 2*w(v, B)
+        qB2 = (bcut + wd - 2.0 * wvc) / W2
+        pB2 = pB + pv
+        q2 = q_total - qA - qB + qA2 + qB2
+        dL = (
+            (_plogp(q2) - _plogp(np.full_like(q2, q_total)))
+            - 2.0 * (_plogp(qA2) - _plogp(qA) + _plogp(qB2) - _plogp(qB))
+            + (
+                _plogp(qA2 + pA2) - _plogp(qA + pA)
+                + _plogp(qB2 + pB2) - _plogp(qB + pB)
+            )
+        )
+        dL = np.where(is_own, -min_gain, dL)  # stay unless a move wins
+        # argmax of negated delta = argmin; ties -> smaller community id
+        return pa.table({"vid": t["vid"], "label": t["ncomm"], "w": -dL})
+
+    scored = j3.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    winners = scored.groupby("vid", num_partitions=num_partitions).aggregate(
+        ArgMaxWMinLabel(w_col="w", label_col="label", alias_name="comm")
+    )
+    moved = winners.map_batches(
+        lambda t: pa.table(
+            {
+                "vid": pc.cast(t["vid"], pa.int64()),
+                "comm": pc.cast(t["comm"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    if color_mod <= 1:
+        return moved
+    frozen = vstate.map_batches(
+        lambda t: pa.table({"vid": t["vid"], "comm": t["comm"]}).filter(
+            pa.array(
+                t["vid"].combine_chunks().to_numpy(zero_copy_only=False)
+                % color_mod
+                != color
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return moved.union(frozen)
+
+
+def louvain_map_equation(
+    edges_ds,
+    num_partitions: int = 8,
+    max_levels: int = 3,
+    move_rounds: int = 3,
+    min_gain: float = 1e-9,
+    colors: int = 4,
+):
+    """Distributed LouvainMapEquation (reference
+    community/LouvainMapEquation): PLM-style level loop minimizing the
+    two-level map-equation codelength instead of maximizing modularity.
+    -> Dataset(vid, label), label = min original member vid."""
+    from networkit_ray.stages.graphops import vertices_from_edges
+
+    canon = canonicalize_undirected(edges_ds, weight="sum").materialize()
+    mapping = (
+        vertices_from_edges(canon)
+        .map_batches(
+            lambda t: pa.table({"vid": t["vid"], "comm": t["vid"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    if canon.count() == 0:
+        return _proj(mapping, {"vid": "vid", "label": "comm"})
+
+    for _level in range(max_levels):
+        W = canon.sum("w") or 0.0
+        if W <= 0:
+            break
+        no_loops = canon.map_batches(
+            lambda t: t.filter(pc.not_equal(t["src"], t["dst"])),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        sym = symmetrize(no_loops).materialize()
+        if sym.count() == 0:
+            break
+        wd = _volumes(canon, num_partitions).materialize()
+        labels = _proj(wd, {"vid": "vid", "comm": "vid", "wd": "wd"}).materialize()
+        for _r in range(move_rounds):
+            for color in range(colors):
+                cuts = _community_cuts(sym, labels, num_partitions).materialize()
+                q_total = float(cuts.sum("cut") or 0.0) / (2.0 * W)
+                new_labels = _map_move_round(
+                    sym, labels, W, cuts, q_total, num_partitions, min_gain,
+                    color_mod=colors, color=color,
+                )
+                labels = _proj(
+                    new_labels.join(
+                        wd, join_type="inner",
+                        num_partitions=num_partitions, on=("vid",),
+                    ),
+                    {"vid": "vid", "comm": "comm", "wd": "wd"},
+                ).materialize()
+        moved = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "n": pa.array(
+                        [
+                            int(
+                                pc.sum(
+                                    pc.cast(
+                                        pc.not_equal(t["vid"], t["comm"]),
+                                        pa.int64(),
+                                    )
+                                ).as_py()
+                                or 0
+                            )
+                        ],
+                        type=pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).sum("n")
+        if not moved:
+            break
+        lab2 = _proj(labels, {"vid": "vid", "comm": "comm"}).materialize()
+        lab2r = _proj(lab2, {"cvid": "vid", "newcomm": "comm"}).materialize()
+        mapping = _proj(
+            mapping.join(
+                lab2r, join_type="inner", num_partitions=num_partitions,
+                on=("comm",), right_on=("cvid",),
+            ),
+            {"vid": "vid", "comm": "newcomm"},
+        ).materialize()
+        canon = _contract(canon, lab2, num_partitions).materialize()
+
+    from ray.data.aggregate import Min
+
+    cmin = (
+        _proj(mapping, {"comm": "comm", "vid": "vid"})
+        .groupby("comm", num_partitions=num_partitions)
+        .aggregate(Min("vid", alias_name="label"))
+        .materialize()
+    )
+    found = _proj(
+        mapping.join(
+            cmin, join_type="inner", num_partitions=num_partitions, on=("comm",)
+        ),
+        {"vid": "vid", "label": "label"},
+    ).materialize()
+
+    # endgame: synchronized stale moves cannot always reach the coarse
+    # optimum (nor guarantee monotone codelength), so return the best of
+    # the found partition and the two trivial models — the result provably
+    # never codes worse than all-singletons or one-blob
+    orig = canonicalize_undirected(edges_ds, weight="sum").materialize()
+    verts = found.select_columns(["vid"]).materialize()
+    minvid = verts.min("vid")
+    sing = verts.map_batches(
+        lambda t: pa.table({"vid": t["vid"], "label": t["vid"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    one = verts.map_batches(
+        lambda t, m=int(minvid): pa.table(
+            {"vid": t["vid"], "label": pa.array(np.full(t.num_rows, m, np.int64))}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    cands = [
+        (map_equation_codelength(orig, found, num_partitions), 0, found),
+        (map_equation_codelength(orig, one, num_partitions), 1, one),
+        (map_equation_codelength(orig, sing, num_partitions), 2, sing),
+    ]
+    return min(cands, key=lambda c: (c[0], c[1]))[2]
