@@ -1406,13 +1406,30 @@ def _fixture_edges():
 def q_betweenness_exact(sf_dir):
     """Exact all-sources Brandes betweenness (centrality/Betweenness) on
     the fixture graph, value-checked against the unrolled walk-count-CTE
-    SQL oracle (sigma(s,v)*sigma(v,t)/sigma(s,t) pair sums)."""
-    from networkit_ray.pipelines.traversal import betweenness_exact
+    SQL oracle (sigma(s,v)*sigma(v,t)/sigma(s,t) pair sums) — carrier
+    also joins exact per-vertex Eccentricity (distance/Eccentricity:
+    MAX(d) + COUNT(*) per source over the same distance table)."""
+    from networkit_ray.pipelines.traversal import betweenness_exact, eccentricity
 
     out = betweenness_exact(
         _fixture_edges(), num_partitions=P, undirected=True, batch=64
     )
-    return _round6(out, "betweenness")
+    ecc = eccentricity(_fixture_edges(), num_partitions=P, batch=64)
+    joined = out.join(
+        ecc, join_type="inner", num_partitions=P, on=("vid",)
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "vid": t["vid"],
+                "betweenness": t["betweenness"],
+                "ecc": t["ecc"],
+                "reached": t["reached"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return _round6(joined, "betweenness")
 
 
 def q_top_closeness(sf_dir):
@@ -2867,6 +2884,7 @@ def _fix_walks_cte(k_max: int) -> str:
 _BETWEENNESS_SQL = (
     _fix_walks_cte(FIX_K)
     + """
+, bet AS (
 SELECT sv.v AS vid,
        FLOOR(0.5 * SUM(CAST(sv.sig AS DOUBLE) * vt.sig / st.sig)
              * 1000000 + 0.5) / 1000000.0 AS betweenness
@@ -2876,6 +2894,12 @@ JOIN fsigma st ON st.s = sv.s AND st.v = vt.v
 WHERE sv.d + vt.d = st.d
   AND sv.s <> sv.v AND vt.v <> sv.v AND sv.s <> vt.v
 GROUP BY 1
+),
+ecc AS (SELECT s AS vid, CAST(MAX(d) AS BIGINT) AS ecc,
+               CAST(COUNT(*) AS BIGINT) AS reached
+        FROM fdist GROUP BY 1)
+SELECT b.vid, b.betweenness, e.ecc, e.reached
+FROM bet b JOIN ecc e USING (vid)
 """
 )
 

@@ -417,6 +417,47 @@ def hop_plot(
     return ds, eff
 
 
+def eccentricity(
+    edges_ds,
+    vertices_ds=None,
+    sources=None,
+    num_partitions: int = 8,
+    undirected: bool = True,
+    batch: int = 64,
+):
+    """Exact per-vertex eccentricity (reference distance/Eccentricity —
+    the all-vertices batch form of Eccentricity::getValue): batched
+    multi-source BFS waves on the BSP kernel; ecc(v) = max finite BFS
+    depth from v, reached(v) = # vertices reachable from v (incl. v).
+    On disconnected graphs ecc is the eccentricity WITHIN v's component
+    (the reference raises on infinite distances; the reached column lets
+    callers detect and filter).  ``sources`` restricts to a vid subset.
+    -> Dataset(vid, ecc, reached)."""
+    import ray.data
+
+    if vertices_ds is None:
+        vertices_ds = vertices_from_edges(edges_ds)
+    verts = vertices_ds.select_columns(["vid"]).materialize()
+    g = _graph(edges_ds, verts, num_partitions, undirected)
+    try:
+        vids = (
+            g.all_vids()
+            if sources is None
+            else np.unique(np.asarray(sources, dtype=np.int64))
+        )
+        eccs = np.empty(len(vids), dtype=np.int64)
+        reach = np.empty(len(vids), dtype=np.int64)
+        for i in range(0, len(vids), batch):
+            e, r = g.eccentricity_batched(vids[i : i + batch])
+            eccs[i : i + len(e)] = e
+            reach[i : i + len(r)] = r
+    finally:
+        g.shutdown()
+    return ray.data.from_arrow(
+        pa.table({"vid": vids, "ecc": eccs, "reached": reach})
+    )
+
+
 def diameter_bounds(
     edges_ds,
     vertices_ds=None,

@@ -368,3 +368,185 @@ def havel_hakimi_edges(degree_sequence, parallelism: int = 8):
         }
     )
     return ray.data.from_arrow(tbl).repartition(max(1, parallelism))
+
+
+def powerlaw_degree_sequence(
+    n: int, gamma: float = 2.5, min_deg: int = 1, max_deg: int | None = None,
+    seed: int = 42,
+) -> np.ndarray:
+    """PowerlawDegreeSequence (reference generators/PowerlawDegreeSequence):
+    deterministic power-law degree draws P(d) ~ d^-gamma on
+    [min_deg, max_deg], parity-fixed so the sum is even (bump the first
+    non-max entry), i.e. realizable by ``havel_hakimi_edges`` whenever the
+    Erdos-Gallai condition holds.  n counters -> driver-side numpy (the
+    sequence itself is the small side; the GRAPH realization is what
+    scales).  -> int64 array of length n."""
+    if max_deg is None:
+        max_deg = max(min_deg, int(np.sqrt(n)))
+    ids = np.arange(n, dtype=np.int64)
+    u = _uniform(ids, 7, seed)
+    # inverse-CDF of the truncated continuous power law, floored
+    a, b = float(min_deg), float(max_deg) + 1.0
+    if gamma == 1.0:
+        d = a * np.power(b / a, u)
+    else:
+        e = 1.0 - gamma
+        d = np.power(a**e + u * (b**e - a**e), 1.0 / e)
+    deg = np.clip(np.floor(d).astype(np.int64), min_deg, max_deg)
+    if deg.sum() % 2:
+        i = int(np.argmin(deg))  # deterministic parity fix
+        deg[i] += 1 if deg[i] < max_deg else -1
+    return deg
+
+
+def dorogovtsev_mendes_edges(n: int, seed: int = 42, parallelism: int = 8):
+    """DorogovtsevMendes growing network (reference generators/
+    DorogovtsevMendesGenerator; Dorogovtsev/Mendes/Samukhin 2001): start
+    from a triangle; each new vertex t attaches to BOTH endpoints of a
+    uniformly random existing edge.  Edge j >= 3 belongs to vertex
+    t(j) = (j+3)//2 (odd j, first copy) or (j+2)//2 (even j, second copy)
+    and inherits one endpoint from edge r(t) = floor(U_t * (2t-3)); the
+    inherited endpoint resolves by a strictly-decreasing POINTER CHASE
+    whose targets are all closed-form hash counters, so every edge
+    resolves independently inside its batch — vectorized, join-free,
+    bit-identical across partitionings (expected O(log n) chase length).
+    -> Dataset(src, dst, w), 2n-3 edges, simple by construction."""
+    import ray.data
+
+    if n < 3:
+        raise ValueError("DorogovtsevMendes needs n >= 3")
+    base_a = np.array([0, 0, 1], dtype=np.int64)
+    base_b = np.array([1, 2, 2], dtype=np.int64)
+
+    def _t_of(j):  # owning (new) vertex of edge j >= 3
+        return np.where(j % 2 == 1, (j + 3) // 2, (j + 2) // 2)
+
+    def _r_of(t):  # referenced earlier edge of vertex t >= 3
+        return np.floor(_uniform(t.astype(np.int64), 3, seed) * (2 * t - 3)).astype(
+            np.int64
+        )
+
+    def mk(batch: pa.Table) -> pa.Table:
+        j = batch["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        src = np.where(j < 3, base_a[np.minimum(j, 2)], _t_of(j))
+        # resolve the inherited endpoint b(j)
+        out = np.where(j < 3, base_b[np.minimum(j, 2)], np.int64(-1))
+        cur = j.copy()
+        field_a = np.zeros(len(j), dtype=bool)  # False: need b, True: need a
+        todo = j >= 3
+        # b(odd j) = a(r(t)), b(even j) = b(r(t)); a(j>=3) = t(j) closed form
+        while todo.any():
+            c = cur[todo]
+            fa = field_a[todo]
+            res = np.full(len(c), -1, dtype=np.int64)
+            done_base = c < 3
+            res[done_base & ~fa] = base_b[np.minimum(c[done_base & ~fa], 2)]
+            res[done_base & fa] = base_a[np.minimum(c[done_base & fa], 2)]
+            done_a = fa & ~done_base
+            res[done_a] = _t_of(c[done_a])
+            chase = ~done_base & ~fa
+            nxt_field = c % 2 == 1  # odd -> need a of target, even -> need b
+            c2 = np.where(chase, _r_of(_t_of(c)), c)
+            # write back
+            idx = np.flatnonzero(todo)
+            resolved = done_base | done_a
+            out[idx[resolved]] = res[resolved]
+            cur[idx] = c2
+            field_a[idx[chase]] = nxt_field[chase]
+            still = np.zeros(len(j), dtype=bool)
+            still[idx[chase]] = True
+            todo = still
+        return pa.table(
+            {
+                "src": np.minimum(src, out),
+                "dst": np.maximum(src, out),
+                "w": np.ones(len(j), dtype=np.float64),
+            }
+        )
+
+    return ray.data.range(2 * n - 3, override_num_blocks=parallelism).map_batches(
+        mk, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def clustered_random_edges(
+    n: int, n_clusters: int, p_in: float, p_out: float,
+    seed: int = 42, parallelism: int = 8,
+):
+    """ClusteredRandomGraphGenerator (reference generators/
+    ClusteredRandomGraphGenerator): planted-partition G(n, k, p_in, p_out)
+    in one-shot expected-count form — vertices map to k contiguous
+    equal-size clusters (vid * k // n, closed form), m_in = p_in * (total
+    intra pairs) edges sampled uniformly within a random cluster and
+    m_out = p_out * (total inter pairs) across two distinct clusters;
+    counter-hash randomness, so bit-identical across partitionings.
+    Self-loops/duplicates possible per one-shot sampling (canonicalize to
+    taste).  Ground truth: ``clustered_random_labels``.
+    -> Dataset(src, dst, w)."""
+    import ray.data
+
+    if not 1 <= n_clusters <= n:
+        raise ValueError("need 1 <= n_clusters <= n")
+    bounds = (np.arange(n_clusters + 1, dtype=np.int64) * n) // n_clusters
+    sizes = np.diff(bounds)
+    intra_pairs = float((sizes * (sizes - 1) // 2).sum())
+    inter_pairs = float(n * (n - 1) // 2 - intra_pairs)
+    m_in = int(round(p_in * intra_pairs))
+    m_out = int(round(p_out * inter_pairs))
+
+    def mk(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_in = ids < m_in
+        # cluster draw weighted by size (intra) / uniform vertex (inter)
+        c1 = np.floor(_uniform(ids, 10, seed) * n_clusters).astype(np.int64)
+        lo, sz = bounds[c1], sizes[c1]
+        u_src = np.floor(_uniform(ids, 11, seed) * np.maximum(sz, 1)).astype(
+            np.int64
+        )
+        u_dst = np.floor(_uniform(ids, 12, seed) * np.maximum(sz, 1)).astype(
+            np.int64
+        )
+        src_in, dst_in = lo + u_src, lo + u_dst
+        # inter: uniform vertex, then a vertex from a DIFFERENT cluster
+        v1 = np.floor(_uniform(ids, 13, seed) * n).astype(np.int64)
+        cv1 = (v1 * n_clusters) // n
+        c2 = (
+            cv1
+            + 1
+            + np.floor(
+                _uniform(ids, 14, seed) * max(n_clusters - 1, 1)
+            ).astype(np.int64)
+        ) % n_clusters
+        lo2, sz2 = bounds[c2], sizes[c2]
+        v2 = lo2 + np.floor(_uniform(ids, 15, seed) * np.maximum(sz2, 1)).astype(
+            np.int64
+        )
+        src = np.where(is_in, src_in, v1)
+        dst = np.where(is_in, dst_in, v2)
+        return pa.table(
+            {
+                "src": np.minimum(src, dst),
+                "dst": np.maximum(src, dst),
+                "w": np.ones(len(ids), dtype=np.float64),
+            }
+        )
+
+    return ray.data.range(
+        m_in + m_out, override_num_blocks=parallelism
+    ).map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def clustered_random_labels(n: int, n_clusters: int, parallelism: int = 8):
+    """Planted ground-truth labeling for ``clustered_random_edges``:
+    label(vid) = vid * k // n (closed form).  -> Dataset(vid, label)."""
+    import ray.data
+
+    def mk(batch: pa.Table) -> pa.Table:
+        v = batch["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"vid": v, "label": (v * n_clusters) // n}
+        )
+
+    return ray.data.range(n, override_num_blocks=parallelism).map_batches(
+        mk, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -802,6 +802,23 @@ class CSRPartition:
             inv.sum(axis=0).astype(np.float64),
         )
 
+    def ms_ecc_part(self):
+        """Per-source-column (max finite depth, reached count) over owned
+        rows — eccentricity partials; the driver max/sum-combines across
+        partitions.  -1 where this partition reached nothing."""
+        reach = self.ms_depth >= 0
+        d = np.where(reach, self.ms_depth, -1)
+        if d.shape[0] == 0:
+            s = self.ms_depth.shape[1]
+            return (
+                np.full(s, -1, dtype=np.int64),
+                np.zeros(s, dtype=np.int64),
+            )
+        return (
+            d.max(axis=0).astype(np.int64),
+            reach.sum(axis=0).astype(np.int64),
+        )
+
     def ms_depth_hist(self, max_d: int):
         """Histogram of finite depths over owned rows x source columns —
         the exact per-wave contribution to the neighborhood function."""
@@ -1518,6 +1535,15 @@ class BSPGraph:
         reach = np.sum([p[1] for p in parts], axis=0)
         inv = np.sum([p[2] for p in parts], axis=0)
         return sumd, reach, inv
+
+    def eccentricity_batched(self, sources):
+        """(ecc, reached) arrays per source: max finite BFS depth and
+        reached-vertex count (exact, one batched BFS wave)."""
+        self.ms_forward(sources, with_sigma=False)
+        parts = ray.get([a.ms_ecc_part.remote() for a in self.actors])
+        ecc = np.max([p[0] for p in parts], axis=0)
+        reach = np.sum([p[1] for p in parts], axis=0)
+        return ecc, reach
 
     def depth_histogram(self, batch: int = 64, max_d: int = 256) -> np.ndarray:
         """Exact counts of ordered vertex pairs at each distance d=0..max_d

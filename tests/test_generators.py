@@ -93,3 +93,85 @@ def test_lfr_like(ray_session):
     # vertex ids in range
     assert df[["src", "dst"]].to_numpy().min() >= 0
     assert df[["src", "dst"]].to_numpy().max() < n
+
+
+def test_powerlaw_degree_sequence():
+    from networkit_ray.sources.generators import powerlaw_degree_sequence
+
+    deg = powerlaw_degree_sequence(5000, gamma=2.5, min_deg=1, max_deg=70, seed=3)
+    assert len(deg) == 5000
+    assert deg.min() >= 1 and deg.max() <= 70
+    assert deg.sum() % 2 == 0
+    # heavy tail: the 99th percentile dwarfs the median
+    assert np.percentile(deg, 99) > 4 * np.median(deg)
+    # deterministic
+    again = powerlaw_degree_sequence(5000, gamma=2.5, min_deg=1, max_deg=70, seed=3)
+    assert (deg == again).all()
+
+
+def test_powerlaw_sequence_realizes_via_havel_hakimi(ray_session):
+    from networkit_ray.sources.generators import (
+        havel_hakimi_edges,
+        powerlaw_degree_sequence,
+    )
+
+    deg = powerlaw_degree_sequence(300, gamma=2.3, min_deg=1, max_deg=16, seed=5)
+    df = havel_hakimi_edges(deg, parallelism=2).to_pandas()
+    got = degs(df, 300)
+    assert (got == deg).all()
+
+
+def test_dorogovtsev_mendes_model(ray_session):
+    import networkx as nx
+
+    from networkit_ray.sources.generators import dorogovtsev_mendes_edges
+
+    n = 500
+    df = dorogovtsev_mendes_edges(n, seed=7, parallelism=4).to_pandas()
+    assert len(df) == 2 * n - 3
+    G = nx.from_pandas_edgelist(df, "src", "dst")
+    # simple by construction: no dup edges, no self loops
+    assert G.number_of_edges() == 2 * n - 3
+    assert (df["src"] != df["dst"]).all()
+    assert nx.is_connected(G)
+    # every vertex t >= 3 closed a triangle on arrival
+    assert sum(nx.triangles(G).values()) // 3 >= n - 2
+    # growing-network heavy tail
+    d = degs(df, n)
+    assert d.max() > 5 * d.mean()
+
+
+def test_dorogovtsev_mendes_partition_invariant(ray_session):
+    from networkit_ray.sources.generators import dorogovtsev_mendes_edges
+
+    a = dorogovtsev_mendes_edges(400, seed=11, parallelism=2).to_pandas()
+    b = dorogovtsev_mendes_edges(400, seed=11, parallelism=7).to_pandas()
+    a = a.sort_values(["src", "dst"]).reset_index(drop=True)
+    b = b.sort_values(["src", "dst"]).reset_index(drop=True)
+    assert (a[["src", "dst"]].values == b[["src", "dst"]].values).all()
+
+
+def test_clustered_random_graph(ray_session):
+    from networkit_ray.sources.generators import (
+        clustered_random_edges,
+        clustered_random_labels,
+    )
+
+    n, k = 600, 4
+    df = clustered_random_edges(n, k, p_in=0.2, p_out=0.005, seed=2,
+                                parallelism=4).to_pandas()
+    lab = clustered_random_labels(n, k).to_pandas()
+    lv = lab.set_index("vid")["label"]
+    assert set(lab["label"]) == set(range(k))
+    c_src = (df["src"].to_numpy() * k) // n
+    c_dst = (df["dst"].to_numpy() * k) // n
+    frac_intra = float((c_src == c_dst).mean())
+    # planted structure: most edges intra despite 3x more inter pairs
+    assert frac_intra > 0.85
+    assert (lv.loc[df["src"]].values == c_src).all()
+    # determinism across parallelism
+    again = clustered_random_edges(n, k, p_in=0.2, p_out=0.005, seed=2,
+                                   parallelism=9).to_pandas()
+    a = df.sort_values(["src", "dst"]).reset_index(drop=True)
+    b = again.sort_values(["src", "dst"]).reset_index(drop=True)
+    assert (a[["src", "dst"]].values == b[["src", "dst"]].values).all()

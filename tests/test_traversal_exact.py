@@ -4,6 +4,7 @@ diameter.  Oracles: networkx exact values (FIXTURES.md §2)."""
 
 import networkx as nx
 import numpy as np
+import pyarrow as pa
 import pytest
 import ray.data
 
@@ -90,3 +91,40 @@ def test_hop_plot_exact(ray_session, name):
     want_eff = int(np.argmax(cum >= 0.9 * total)) + 1
     assert eff == want_eff
     assert (hp["effective_diameter"] == eff).all()
+
+
+@pytest.mark.parametrize("name", ["karate", "path100", "multicomp"])
+def test_eccentricity_networkx(ray_session, name):
+    from networkit_ray.pipelines.traversal import eccentricity
+
+    G = fixture_graph(name)
+    eds = ray.data.from_arrow(nx_to_edges_table(G))
+    verts = ray.data.from_arrow(
+        pa.table({"vid": np.array(sorted(G.nodes), dtype=np.int64)})
+    )
+    got = eccentricity(
+        eds, vertices_ds=verts, num_partitions=3, batch=17
+    ).to_pandas()
+    assert set(got["vid"].astype(int)) == {int(v) for v in G.nodes}
+    ge = dict(zip(got["vid"].astype(int), got["ecc"].astype(int)))
+    gr = dict(zip(got["vid"].astype(int), got["reached"].astype(int)))
+    for comp in nx.connected_components(G):
+        sub = G.subgraph(comp)
+        want = nx.eccentricity(sub)
+        for v in comp:
+            assert ge[int(v)] == want[v]
+            assert gr[int(v)] == len(comp)
+
+
+def test_eccentricity_sources_subset(ray_session):
+    from networkit_ray.pipelines.traversal import eccentricity
+
+    G = fixture_graph("karate")
+    eds = ray.data.from_arrow(nx_to_edges_table(G))
+    got = eccentricity(
+        eds, sources=[0, 33, 5], num_partitions=2, batch=2
+    ).to_pandas()
+    assert sorted(got["vid"].astype(int)) == [0, 5, 33]
+    want = nx.eccentricity(G)
+    for _, r in got.iterrows():
+        assert int(r["ecc"]) == want[int(r["vid"])]
