@@ -34,13 +34,16 @@ from networkit_ray.stages.graphops import (
 
 
 def random_link_sampler(
-    edges_ds, holdout_mod: int = 5, seed: int = 0, num_partitions: int = 8
+    edges_ds, holdout_mod: int = 5, seed: int = 0, num_partitions: int = 8,
+    fold: int = 0,
 ):
     """Deterministic edge holdout (reference linkprediction/
     RandomLinkSampler): canonical (src<dst) edges whose pair hash
-    (src*1000003 + dst*7919 + seed) % holdout_mod == 0 are HELD OUT as
+    (src*1000003 + dst*7919 + seed) % holdout_mod == fold are HELD OUT as
     test positives; the rest are the training graph.  The hash is plain
     int64 arithmetic so the DuckDB oracle reproduces the exact same split.
+    ``fold`` selects which residue class is held out — the k folds of
+    ``kfold_cross_validation`` partition the edge set exactly.
     -> (train_edges, test_edges), both (src, dst, w=1)."""
     canon = canonicalize_undirected(edges_ds, weight="one").materialize()
 
@@ -49,7 +52,7 @@ def random_link_sampler(
             s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
             d = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
             h = (s * np.int64(1000003) + d * np.int64(7919) + np.int64(seed)) % holdout_mod
-            mask = (h != 0) if keep_train else (h == 0)
+            mask = (h != fold) if keep_train else (h == fold)
             return t.filter(pa.array(mask))
 
         return canon.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
@@ -63,6 +66,7 @@ def link_prediction_auc(
     neg_mod: int = 17,
     seed: int = 0,
     num_partitions: int = 8,
+    fold: int = 0,
 ):
     """Link-prediction evaluation harness (reference linkprediction/
     MissingLinksFinder + ROC/PR metrics): hold out 1/holdout_mod of the
@@ -83,7 +87,8 @@ def link_prediction_auc(
 
     canon = canonicalize_undirected(edges_ds, weight="one").materialize()
     train, test = random_link_sampler(
-        canon, holdout_mod=holdout_mod, seed=seed, num_partitions=num_partitions
+        canon, holdout_mod=holdout_mod, seed=seed,
+        num_partitions=num_partitions, fold=fold,
     )
     train = train.materialize()
 
@@ -255,6 +260,45 @@ def link_prediction_auc(
             }
         )
     )
+
+
+def kfold_cross_validation(
+    edges_ds,
+    k: int = 5,
+    neg_mod: int = 17,
+    seed: int = 0,
+    num_partitions: int = 8,
+):
+    """KFoldCrossValidator (reference linkprediction/KFoldCrossValidator):
+    the k residue classes of the deterministic pair hash partition the
+    edge set exactly; fold f evaluates the common-neighbor predictor
+    trained WITHOUT class f against class f as positives (same negatives
+    contract as link_prediction_auc).  Folds run sequentially — each fold
+    is itself a fully distributed pipeline, and k is a small constant.
+    -> Dataset(k rows: fold, auc_roc, auc_pr, n_pos, n_neg)."""
+    import ray.data
+
+    outs = []
+    for f in range(k):
+        one = link_prediction_auc(
+            edges_ds,
+            holdout_mod=k,
+            neg_mod=neg_mod,
+            seed=seed,
+            num_partitions=num_partitions,
+            fold=f,
+        ).map_batches(
+            lambda t, f=f: t.add_column(
+                0, "fold", pa.array(np.full(t.num_rows, f, np.int64))
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        outs.append(one)
+    ds = outs[0]
+    for o in outs[1:]:
+        ds = ds.union(o)
+    return ds
 
 
 def katz_index_scores(

@@ -847,3 +847,134 @@ def forest_fire_scores(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def algebraic_distance_scores(
+    edges_ds,
+    systems: int = 5,
+    iterations: int = 7,
+    omega: float = 0.5,
+    norm: float = 2.0,
+    seed: int = 42,
+    num_partitions: int = 8,
+):
+    """AlgebraicDistance (reference distance/AlgebraicDistance; Chen &
+    Safro 2011): ``systems`` independent Jacobi smoothing sweeps over
+    deterministic hash-uniform init vectors,
+    x_{t+1}(v) = (1-omega) * x_t(v) + omega * mean_{u in N(v)} x_t(u);
+    the per-edge score is the L_norm distance of the endpoint coordinate
+    vectors after ``iterations`` sweeps (norm=inf -> max component).
+    Structurally close vertices converge to similar coordinates, so LOW
+    scores mark intra-cluster edges.
+
+    Ray-Data shape: the K coordinate systems travel as K flat float64
+    columns on one vertex table (Acero joins reject nested payloads —
+    compat.py), so every sweep is ONE neighbor join + ONE pre-combined
+    grouped mean + ONE stale-state join, all K systems simultaneously.
+    Deterministic init (pd.util.hash_array counters) -> bit-reproducible
+    across partitionings.  -> Dataset(src, dst, score) on canonical
+    undirected edges."""
+    import pandas as pd
+
+    from ray.data.aggregate import Mean
+
+    from networkit_ray.sources.generators import _uniform
+
+    K = int(systems)
+    xcols = [f"x{k}" for k in range(K)]
+    canon = canonicalize_undirected(edges_ds, weight="one").materialize()
+    sym = symmetrize(canon).select_columns(["src", "dst"]).materialize()
+    verts = vertices_from_edges(canon)
+
+    def init(t: pa.Table) -> pa.Table:
+        v = t["vid"].combine_chunks().to_numpy(zero_copy_only=False)
+        cols = {"vid": v}
+        for k in range(K):
+            cols[xcols[k]] = _uniform(v, 20 + k, seed)
+        return pa.table(cols)
+
+    coords = verts.map_batches(
+        init, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    for _ in range(int(iterations)):
+        nb = _project(
+            sym.join(
+                coords, join_type="inner", num_partitions=num_partitions,
+                on=("dst",), right_on=("vid",),
+            ),
+            {"vid": "src", **{c: c for c in xcols}},
+        )
+
+        def pre(t: pa.Table) -> pa.Table:
+            g = t.group_by("vid").aggregate(
+                [(c, "sum") for c in xcols] + [("vid", "count")]
+            )
+            names = ["vid"] + [f"s_{c}" for c in xcols] + ["cnt"]
+            return g.rename_columns(names)
+
+        # pre-combine sums per batch, then a grouped global mean via
+        # sum-of-sums / sum-of-counts
+        sums = (
+            nb.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("vid", num_partitions=num_partitions)
+            .aggregate(
+                *[Sum(f"s_{c}", alias_name=f"s_{c}") for c in xcols],
+                Sum("cnt", alias_name="cnt"),
+            )
+        )
+        j = coords.join(
+            sums, join_type="inner", num_partitions=num_partitions, on=("vid",)
+        )
+        om = float(omega)
+
+        def step(t: pa.Table) -> pa.Table:
+            cnt = t["cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+            cols = {"vid": t["vid"]}
+            for c in xcols:
+                old = t[c].combine_chunks().to_numpy(zero_copy_only=False)
+                s = t[f"s_{c}"].combine_chunks().to_numpy(zero_copy_only=False)
+                cols[c] = (1.0 - om) * old + om * s / np.maximum(cnt, 1)
+            return pa.table(cols)
+
+        coords = j.map_batches(
+            step, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+
+    ju = _project(
+        canon.select_columns(["src", "dst"]).join(
+            coords, join_type="inner", num_partitions=num_partitions,
+            on=("src",), right_on=("vid",),
+        ),
+        {"src": "src", "dst": "dst", **{f"a_{c}": c for c in xcols}},
+    )
+    jv = _project(
+        ju.join(
+            coords, join_type="inner", num_partitions=num_partitions,
+            on=("dst",), right_on=("vid",),
+        ),
+        {
+            "src": "src", "dst": "dst",
+            **{f"a_{c}": f"a_{c}" for c in xcols},
+            **{f"b_{c}": c for c in xcols},
+        },
+    )
+    p = float(norm)
+
+    def dist(t: pa.Table) -> pa.Table:
+        diffs = np.stack(
+            [
+                np.abs(
+                    t[f"a_{c}"].combine_chunks().to_numpy(zero_copy_only=False)
+                    - t[f"b_{c}"].combine_chunks().to_numpy(zero_copy_only=False)
+                )
+                for c in xcols
+            ]
+        )
+        if np.isinf(p):
+            score = diffs.max(axis=0)
+        else:
+            score = np.power(np.power(diffs, p).sum(axis=0), 1.0 / p)
+        return pa.table({"src": t["src"], "dst": t["dst"], "score": score})
+
+    return jv.map_batches(dist, batch_format="pyarrow", zero_copy_batch=True)

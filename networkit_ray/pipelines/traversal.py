@@ -417,6 +417,70 @@ def hop_plot(
     return ds, eff
 
 
+def all_pairs_distances(
+    edges_ds,
+    sources=None,
+    vertices_ds=None,
+    num_partitions: int = 8,
+    undirected: bool = True,
+    batch: int = 64,
+):
+    """Exact BFS distance table (reference distance/APSP restricted to
+    unweighted BFS; pass ``sources`` for the multi-source subset form):
+    -> Dataset(source, vid, depth), FINITE pairs only (unreachable pairs
+    are absent — the reference returns infinity; absence is the
+    join-friendly encoding).  Full APSP output is n*reach rows: it
+    streams wave-by-wave out of the actors into plasma and is meant to
+    be consumed by a downstream aggregate or write, never collected.
+    Self-distances (source, source, 0) are included."""
+    if vertices_ds is None:
+        vertices_ds = vertices_from_edges(edges_ds)
+    verts = vertices_ds.select_columns(["vid"]).materialize()
+    g = _graph(edges_ds, verts, num_partitions, undirected)
+    try:
+        vids = (
+            g.all_vids()
+            if sources is None
+            else np.unique(np.asarray(sources, dtype=np.int64))
+        )
+        out = g.distance_table(vids, batch=batch).materialize()
+    finally:
+        g.shutdown()
+    return out
+
+
+def single_pair_distance(
+    edges_ds,
+    source: int,
+    target: int,
+    num_partitions: int = 8,
+    undirected: bool = True,
+):
+    """SPSP / BidirectionalBFS use-case (reference distance/SPSP): exact
+    source->target hop distance; depth = -1 when unreachable.
+    -> Dataset(1 row: source, target, depth)."""
+    import pyarrow.compute as _pc
+    import ray.data
+
+    tbl = all_pairs_distances(
+        edges_ds,
+        sources=[int(source)],
+        num_partitions=num_partitions,
+        undirected=undirected,
+    )
+    hit = tbl.filter(expr=f"vid == {int(target)}").take_all()
+    d = int(hit[0]["depth"]) if hit else -1
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "source": np.array([source], dtype=np.int64),
+                "target": np.array([target], dtype=np.int64),
+                "depth": np.array([d], dtype=np.int64),
+            }
+        )
+    )
+
+
 def eccentricity(
     edges_ds,
     vertices_ds=None,

@@ -193,3 +193,131 @@ def read_gml_file(path: str):
             }
         )
     )
+
+
+def read_partition_file(path: str):
+    """PartitionReader (reference io/PartitionReader): one integer label
+    per line, vertex id = LINE INDEX — line-number-addressed like METIS,
+    so a DRIVER-SIDE compat loader (see module docstring; the scale path
+    for labelings is partitioned Parquet).  -> Dataset(vid, label)."""
+    import ray.data
+
+    labels = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                labels.append(int(line))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": np.arange(len(labels), dtype=np.int64),
+                "label": np.array(labels, dtype=np.int64),
+            }
+        )
+    )
+
+
+def write_partition_file(labels_ds, path: str):
+    """PartitionWriter (reference io/PartitionWriter): inverse of
+    ``read_partition_file`` — vertex id = line index, so vids must be
+    dense 0..n-1 (raises otherwise).  Driver-side compat writer: the
+    output is one ordered text file by definition.  Streams sorted blocks
+    via iter_batches (never a whole-table driver copy)."""
+    n = 0
+    with open(path, "w") as fh:
+        for batch in (
+            labels_ds.select_columns(["vid", "label"])
+            .sort("vid")
+            .iter_batches(batch_format="pandas")
+        ):
+            vids = batch["vid"].to_numpy(np.int64)
+            if len(vids) and (vids[0] != n or np.any(np.diff(vids) != 1)):
+                raise ValueError("write_partition_file needs dense vids 0..n-1")
+            n += len(vids)
+            fh.writelines(f"{int(x)}\n" for x in batch["label"])
+
+
+def read_cover_file(path: str):
+    """CoverReader (reference io/CoverReader): line k lists the 1-BASED
+    member node ids of subset k — subset id = line index, so a
+    DRIVER-SIDE compat loader.  Vertices may appear in multiple subsets
+    (it is a cover, not a partition).  -> Dataset(vid, subset)."""
+    import ray.data
+
+    vids: list[int] = []
+    subs: list[int] = []
+    sid = 0
+    with open(path) as fh:
+        for line in fh:
+            toks = line.split()
+            if not toks:
+                continue
+            for t in toks:
+                vids.append(int(t) - 1)
+                subs.append(sid)
+            sid += 1
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": np.array(vids, dtype=np.int64),
+                "subset": np.array(subs, dtype=np.int64),
+            }
+        )
+    )
+
+
+def write_cover_file(cover_ds, path: str):
+    """CoverWriter (reference io/CoverWriter): one line per subset,
+    1-based member ids.  Driver-side compat writer; subsets stream
+    grouped-sorted via iter_batches."""
+    cur = None
+    members: list[int] = []
+    with open(path, "w") as fh:
+
+        def flush():
+            if cur is not None:
+                fh.write(" ".join(str(v + 1) for v in members) + "\n")
+
+        for batch in (
+            cover_ds.select_columns(["subset", "vid"])
+            .sort(["subset", "vid"])
+            .iter_batches(batch_format="pandas")
+        ):
+            for s, v in zip(
+                batch["subset"].to_numpy(np.int64),
+                batch["vid"].to_numpy(np.int64),
+            ):
+                if s != cur:
+                    flush()
+                    cur, members = s, []
+                members.append(int(v))
+        flush()
+
+
+def write_dot(edges_ds, path: str, name: str = "G", directed: bool = False):
+    """DotGraphWriter (reference io/DotGraphWriter): Graphviz DOT text.
+    DOT is a single-file bracketed format (header + footer), so this is a
+    DRIVER-SIDE compat writer streaming edge blocks via iter_batches —
+    interchange with viz tooling, not a scale path."""
+    arrow = "->" if directed else "--"
+    kind = "digraph" if directed else "graph"
+    with open(path, "w") as fh:
+        fh.write(f"{kind} {name} {{\n")
+        for batch in edges_ds.select_columns(["src", "dst"]).iter_batches(
+            batch_format="pandas"
+        ):
+            fh.writelines(
+                f"  {int(s)} {arrow} {int(d)};\n"
+                for s, d in zip(batch["src"], batch["dst"])
+            )
+        fh.write("}\n")
+
+
+def read_line_file(paths):
+    """LineFileReader (reference io/LineFileReader): text lines as a
+    Dataset — the one reference reader that is ALREADY a Ray Data
+    primitive.  -> Dataset(text)."""
+    import ray.data
+
+    return ray.data.read_text(paths)

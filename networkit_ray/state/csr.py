@@ -819,6 +819,21 @@ class CSRPartition:
             reach.sum(axis=0).astype(np.int64),
         )
 
+    def ms_depth_table(self, src_vids) -> pa.Table:
+        """Finite (source, vid, depth) triplets of the current wave over
+        owned rows — the distance-table emit (returned tables are copied
+        into plasma, so later waves never mutate them)."""
+        d = self.ms_depth
+        fin = d >= 0
+        ri, si = np.nonzero(fin)
+        return pa.table(
+            {
+                "source": np.asarray(src_vids, np.int64)[si],
+                "vid": self.owned[ri],
+                "depth": d[ri, si].astype(np.int64),
+            }
+        )
+
     def ms_depth_hist(self, max_d: int):
         """Histogram of finite depths over owned rows x source columns —
         the exact per-wave contribution to the neighborhood function."""
@@ -1535,6 +1550,30 @@ class BSPGraph:
         reach = np.sum([p[1] for p in parts], axis=0)
         inv = np.sum([p[2] for p in parts], axis=0)
         return sumd, reach, inv
+
+    def distance_table(self, sources, batch: int = 64):
+        """Exact BFS distance table for the given sources -> Dataset
+        (source, vid, depth), finite rows only.  Batched waves; each
+        wave's per-actor tables are emitted as plasma objects and unioned
+        lazily, so the n*reach output STREAMS — the driver never holds
+        it.  Serial actor-task order guarantees each wave's emit runs
+        before the next wave's init."""
+        import ray.data
+
+        vids = np.asarray(sources, np.int64)
+        parts = []
+        for i in range(0, len(vids), batch):
+            wave = vids[i : i + batch]
+            self.ms_forward(wave, with_sigma=False)
+            parts.append(
+                ray.data.from_arrow_refs(
+                    [a.ms_depth_table.remote(wave) for a in self.actors]
+                )
+            )
+        ds = parts[0]
+        for p in parts[1:]:
+            ds = ds.union(p)
+        return ds
 
     def eccentricity_batched(self, sources):
         """(ecc, reached) arrays per source: max finite BFS depth and

@@ -485,3 +485,37 @@ def test_katz_index_vs_brute(ray_session, name):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12, k
+
+
+def test_kfold_cross_validation(ray_session):
+    """k folds partition the edge set exactly; each fold row equals the
+    single-fold harness run with the same fold selector."""
+    from networkit_ray.pipelines.linkpred import (
+        kfold_cross_validation,
+        link_prediction_auc,
+        random_link_sampler,
+    )
+
+    G = fixture_graph("karate")
+    eds = _ds_edges(G)
+    k = 3
+    # exact partition of the edge set
+    tests = []
+    for f in range(k):
+        _, te = random_link_sampler(eds, holdout_mod=k, seed=0, fold=f)
+        tests.append(
+            set(zip(*te.to_pandas()[["src", "dst"]].to_numpy().T))
+        )
+    allp = {(min(u, v), max(u, v)) for u, v in G.edges()}
+    assert set().union(*tests) == allp
+    assert sum(len(t) for t in tests) == len(allp)
+
+    got = kfold_cross_validation(eds, k=k, seed=0, num_partitions=2).to_pandas()
+    assert sorted(got["fold"]) == list(range(k))
+    for _, row in got.iterrows():
+        one = link_prediction_auc(
+            eds, holdout_mod=k, seed=0, fold=int(row["fold"]), num_partitions=2
+        ).to_pandas().iloc[0]
+        assert abs(row["auc_roc"] - one["auc_roc"]) < 1e-12
+        assert abs(row["auc_pr"] - one["auc_pr"]) < 1e-12
+        assert row["n_pos"] == one["n_pos"] and row["n_neg"] == one["n_neg"]

@@ -128,3 +128,52 @@ def test_eccentricity_sources_subset(ray_session):
     want = nx.eccentricity(G)
     for _, r in got.iterrows():
         assert int(r["ecc"]) == want[int(r["vid"])]
+
+
+@pytest.mark.parametrize("name", ["karate", "multicomp"])
+def test_all_pairs_distances_networkx(ray_session, name):
+    from networkit_ray.pipelines.traversal import all_pairs_distances
+
+    G = fixture_graph(name)
+    eds = ray.data.from_arrow(nx_to_edges_table(G))
+    verts = ray.data.from_arrow(
+        pa.table({"vid": np.array(sorted(G.nodes), dtype=np.int64)})
+    )
+    got = all_pairs_distances(
+        eds, vertices_ds=verts, num_partitions=3, batch=13
+    ).to_pandas()
+    want = {
+        (int(s), int(v)): d
+        for s in G.nodes
+        for v, d in nx.single_source_shortest_path_length(G, s).items()
+    }
+    gd = {
+        (int(r.source), int(r.vid)): int(r.depth)
+        for r in got.itertuples()
+    }
+    assert gd == want
+
+
+def test_all_pairs_subset_and_spsp(ray_session):
+    from networkit_ray.pipelines.traversal import (
+        all_pairs_distances,
+        single_pair_distance,
+    )
+
+    G = fixture_graph("path100")
+    eds = ray.data.from_arrow(nx_to_edges_table(G))
+    sub = all_pairs_distances(eds, sources=[0, 50], num_partitions=2).to_pandas()
+    assert set(sub["source"]) == {0, 50}
+    assert (
+        sub[(sub["source"] == 0) & (sub["vid"] == 99)]["depth"].iloc[0] == 99
+    )
+    one = single_pair_distance(eds, 3, 97, num_partitions=2).to_pandas()
+    assert int(one["depth"].iloc[0]) == 94
+    # unreachable -> -1
+    H = fixture_graph("multicomp")
+    ed2 = ray.data.from_arrow(nx_to_edges_table(H))
+    import networkx as _nx
+    comps = list(_nx.connected_components(H))
+    a = next(iter(comps[0])); b = next(iter(comps[1]))
+    miss = single_pair_distance(ed2, int(a), int(b), num_partitions=2).to_pandas()
+    assert int(miss["depth"].iloc[0]) == -1
