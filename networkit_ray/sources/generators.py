@@ -550,3 +550,191 @@ def clustered_random_labels(n: int, n_clusters: int, parallelism: int = 8):
     return ray.data.range(n, override_num_blocks=parallelism).map_batches(
         mk, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def hyperbolic_edges(
+    n: int,
+    avg_deg: float = 6.0,
+    gamma: float = 3.0,
+    seed: int = 42,
+    radius: float | None = None,
+    parallelism: int = 8,
+    num_bands: int | None = None,
+    num_sectors: int | None = None,
+):
+    """Threshold random hyperbolic graph (reference generators/
+    HyperbolicGenerator, T=0; Krioukov et al. 2010, band-structured
+    candidate search after von Looz/Meyerhenke/Prutkin 2015): n points at
+    (r, theta) in the hyperbolic disk of radius R — theta uniform, r with
+    density ~ alpha*sinh(alpha*r), alpha=(gamma-1)/2 — connected iff
+    hyperbolic distance <= R.  radius=None uses the Krioukov asymptotic
+    R = 2*ln(2*n*xi^2 / (pi*avg_deg)), xi = alpha/(alpha-1/2) (requires
+    gamma > 2; the realized mean degree tracks the target asymptotically,
+    not exactly at small n).
+
+    Distributed shape: points bucket into (radial band, angular sector)
+    cells; every point EXPLODES to the cells it can possibly reach — the
+    per-band angular window is computed against the band's INNER radius,
+    which upper-bounds the window for every point in the band (the
+    candidate set provably covers all edges; the exact cosh check then
+    filters).  Outer bands hold almost all points but get near-zero
+    windows, inner bands have wide windows but exponentially few points,
+    so candidate volume stays near-linear.  All randomness is counter-hash
+    -> bit-identical across partitionings.  -> Dataset(src, dst, w),
+    src < dst, exact threshold-RHG edge set."""
+    import ray
+    import ray.data
+
+    if gamma <= 2:
+        raise ValueError("hyperbolic_edges needs gamma > 2 (alpha > 1/2)")
+    alpha = (gamma - 1.0) / 2.0
+    if radius is None:
+        xi = alpha / (alpha - 0.5)
+        radius = 2.0 * np.log(2.0 * n * xi * xi / (np.pi * avg_deg))
+    R = float(radius)
+    nb = num_bands or max(4, int(np.ceil(np.log2(max(n, 2)))))
+    ns = num_sectors or max(8, int(np.sqrt(n)))
+    band_edges = np.linspace(0.0, R, nb + 1)
+    cosh_R = np.cosh(R)
+
+    def point_coords(vids: np.ndarray):
+        th = _uniform(vids, 30, seed) * (2.0 * np.pi)
+        # inverse CDF of alpha*sinh(alpha r)/(cosh(alpha R)-1) on [0, R]
+        u = _uniform(vids, 31, seed)
+        r = np.arccosh(1.0 + u * (np.cosh(alpha * R) - 1.0)) / alpha
+        return r, th
+
+    def window(r1: np.ndarray, r2: float) -> np.ndarray:
+        """Max angular difference at which d(p, q) <= R given partner
+        radius exactly r2; monotone non-increasing in r2, so evaluating
+        at a band's inner edge bounds the whole band."""
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x = (np.cosh(r1) * np.cosh(r2) - cosh_R) / (
+                np.sinh(r1) * np.sinh(r2)
+            )
+        out = np.full(len(r1), np.pi)
+        ok = np.isfinite(x)
+        out[ok & (x >= 1.0)] = 0.0
+        mid = ok & (x > -1.0) & (x < 1.0)
+        out[mid] = np.arccos(x[mid])
+        return out
+
+    pts = ray.data.range(n, override_num_blocks=parallelism).map_batches(
+        lambda t: (
+            lambda v, rt: pa.table(
+                {
+                    "vid": v,
+                    "r": rt[0],
+                    "theta": rt[1],
+                    "cell": np.minimum(
+                        np.digitize(rt[0], band_edges) - 1, nb - 1
+                    )
+                    * ns
+                    + np.floor(rt[1] / (2 * np.pi) * ns).astype(np.int64),
+                }
+            )
+        )(
+            t["id"].combine_chunks().to_numpy(zero_copy_only=False),
+            point_coords(
+                t["id"].combine_chunks().to_numpy(zero_copy_only=False)
+            ),
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    sector_w = 2.0 * np.pi / ns
+
+    def explode(t: pa.Table) -> pa.Table:
+        v = t["vid"].combine_chunks().to_numpy(zero_copy_only=False)
+        r = t["r"].combine_chunks().to_numpy(zero_copy_only=False)
+        th = t["theta"].combine_chunks().to_numpy(zero_copy_only=False)
+        outs = []
+        my_sec = np.floor(th / (2 * np.pi) * ns).astype(np.int64)
+        for b in range(nb):
+            lo = max(band_edges[b], 1e-12)
+            w = window(r, lo)
+            # sectors within +-w of theta (half-open wrap arithmetic)
+            kmax = np.minimum(
+                np.ceil(w / sector_w).astype(np.int64), ns // 2
+            )
+            # emit rows (cell, vid, r, theta) for offsets -kmax..kmax
+            reach = kmax * 2 + 1
+            tot = int(reach.sum())
+            if tot == 0:
+                continue
+            rep = np.repeat(np.arange(len(v)), reach)
+            starts = np.cumsum(reach) - reach
+            offs = np.arange(tot) - starts[rep] - kmax[rep]
+            sec = (my_sec[rep] + offs) % ns
+            outs.append(
+                pa.table(
+                    {
+                        "cell": np.int64(b * ns) + sec,
+                        "qvid": v[rep],
+                        "qr": r[rep],
+                        "qth": th[rep],
+                    }
+                )
+            )
+        return (
+            pa.concat_tables(outs)
+            if outs
+            else pa.table(
+                {
+                    "cell": np.empty(0, np.int64),
+                    "qvid": np.empty(0, np.int64),
+                    "qr": np.empty(0, np.float64),
+                    "qth": np.empty(0, np.float64),
+                }
+            )
+        )
+
+    queries = pts.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cand = queries.join(
+        pts,
+        join_type="inner",
+        num_partitions=parallelism,
+        on=("cell",),
+    )
+
+    def check(t: pa.Table) -> pa.Table:
+        qv = t["qvid"].combine_chunks().to_numpy(zero_copy_only=False)
+        pv = t["vid"].combine_chunks().to_numpy(zero_copy_only=False)
+        qr = t["qr"].combine_chunks().to_numpy(zero_copy_only=False)
+        pr = t["r"].combine_chunks().to_numpy(zero_copy_only=False)
+        qt = t["qth"].combine_chunks().to_numpy(zero_copy_only=False)
+        pt_ = t["theta"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = qv < pv
+        dth = np.abs(qt - pt_)
+        dth = np.minimum(dth, 2 * np.pi - dth)
+        coshd = np.cosh(qr) * np.cosh(pr) - np.sinh(qr) * np.sinh(pr) * np.cos(
+            dth
+        )
+        keep &= coshd <= cosh_R
+        out = pa.table({"src": qv[keep], "dst": pv[keep]})
+        # in-batch dedup (the same pair can meet in several cells)
+        return out.group_by(["src", "dst"]).aggregate([]).rename_columns(
+            ["src", "dst"]
+        )
+
+    from ray.data.aggregate import Count
+
+    edges = (
+        cand.map_batches(check, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src", "dst"], num_partitions=parallelism)
+        .aggregate(Count(alias_name="dup"))
+    )
+    return edges.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "w": np.ones(t.num_rows, np.float64),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

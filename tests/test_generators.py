@@ -175,3 +175,45 @@ def test_clustered_random_graph(ray_session):
     a = df.sort_values(["src", "dst"]).reset_index(drop=True)
     b = again.sort_values(["src", "dst"]).reset_index(drop=True)
     assert (a[["src", "dst"]].values == b[["src", "dst"]].values).all()
+
+
+def test_hyperbolic_exact_vs_brute(ray_session):
+    """The band/sector candidate structure must reproduce the EXACT
+    threshold-RHG edge set (brute-force all-pairs oracle on the same
+    deterministic points)."""
+    from networkit_ray.sources.generators import _uniform, hyperbolic_edges
+
+    n, gamma, k = 1500, 3.0, 8.0
+    alpha = (gamma - 1) / 2
+    xi = alpha / (alpha - 0.5)
+    R = 2.0 * np.log(2.0 * n * xi * xi / (np.pi * k))
+    ids = np.arange(n, dtype=np.int64)
+    th = _uniform(ids, 30, 42) * 2 * np.pi
+    r = np.arccosh(1.0 + _uniform(ids, 31, 42) * (np.cosh(alpha * R) - 1.0)) / alpha
+    dth = np.abs(th[:, None] - th[None, :])
+    dth = np.minimum(dth, 2 * np.pi - dth)
+    coshd = (
+        np.cosh(r)[:, None] * np.cosh(r)[None, :]
+        - np.sinh(r)[:, None] * np.sinh(r)[None, :] * np.cos(dth)
+    )
+    iu, ju = np.triu_indices(n, k=1)
+    mask = coshd[iu, ju] <= np.cosh(R)
+    want = set(zip(iu[mask].tolist(), ju[mask].tolist()))
+
+    df = hyperbolic_edges(n, avg_deg=k, gamma=gamma, seed=42,
+                          parallelism=4).to_pandas()
+    got = set(zip(df["src"].astype(int), df["dst"].astype(int)))
+    assert got == want
+    # sane degree scale (asymptotic target, loose factor at n=1500)
+    mean_deg = 2 * len(got) / n
+    assert 0.3 * k < mean_deg < 3 * k
+
+
+def test_hyperbolic_partition_invariant(ray_session):
+    from networkit_ray.sources.generators import hyperbolic_edges
+
+    a = hyperbolic_edges(800, avg_deg=6, seed=5, parallelism=2).to_pandas()
+    b = hyperbolic_edges(800, avg_deg=6, seed=5, parallelism=7).to_pandas()
+    a = a.sort_values(["src", "dst"]).reset_index(drop=True)
+    b = b.sort_values(["src", "dst"]).reset_index(drop=True)
+    assert (a[["src", "dst"]].values == b[["src", "dst"]].values).all()
