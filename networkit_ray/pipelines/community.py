@@ -1407,3 +1407,56 @@ def louvain_map_equation(
         (map_equation_codelength(orig, sing, num_partitions), 2, sing),
     ]
     return min(cands, key=lambda c: (c[0], c[1]))[2]
+
+
+# --------------------------------------------------------------------------
+# ClusteringGenerator (reference community/ClusteringGenerator): the three
+# canonical synthetic labelings used as quality-measure baselines.  All are
+# one vectorized map_batches over the vertex table.
+# --------------------------------------------------------------------------
+
+
+def make_singleton_clustering(vertices_ds):
+    """Every vertex its own community.  -> Dataset(vid, label)."""
+    return vertices_ds.map_batches(
+        lambda t: pa.table({"vid": t["vid"], "label": t["vid"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def make_one_clustering(vertices_ds):
+    """All vertices in one community labeled by the min vid (the engine's
+    canonical community id).  -> Dataset(vid, label)."""
+    verts = vertices_ds.materialize()
+    m = int(verts.min("vid"))
+    return verts.map_batches(
+        lambda t, m=m: pa.table(
+            {
+                "vid": t["vid"],
+                "label": pa.array(np.full(t.num_rows, m, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def make_random_clustering(vertices_ds, k: int, seed: int = 42):
+    """Uniform hash assignment of each vertex to one of k communities —
+    deterministic, partitioning-invariant.  -> Dataset(vid, label)."""
+    import pandas as pd
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t["vid"].combine_chunks().to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(
+            (v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             + np.uint64(seed)).view(np.int64)
+        )
+        return pa.table(
+            {"vid": v, "label": (h % np.uint64(k)).astype(np.int64)}
+        )
+
+    return vertices_ds.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )

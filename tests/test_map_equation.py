@@ -140,3 +140,27 @@ def test_optimizer_deterministic_across_partitioning(ray_session):
         edges, num_partitions=4, max_levels=2, move_rounds=2, colors=2
     ).to_pandas().sort_values("vid").reset_index(drop=True)
     assert (a["label"].values == b["label"].values).all()
+
+
+def test_clustering_generator(ray_session):
+    """community/ClusteringGenerator baselines: shapes + determinism."""
+    from networkit_ray.pipelines.community import (
+        make_one_clustering,
+        make_random_clustering,
+        make_singleton_clustering,
+    )
+
+    verts = ray.data.from_arrow(
+        pa.table({"vid": np.arange(5, 105, dtype=np.int64)})
+    )
+    s = make_singleton_clustering(verts).to_pandas()
+    assert (s["label"] == s["vid"]).all()
+    o = make_one_clustering(verts).to_pandas()
+    assert (o["label"] == 5).all()
+    r1 = make_random_clustering(verts, k=7, seed=3).to_pandas().sort_values("vid")
+    r2 = make_random_clustering(
+        verts.repartition(5), k=7, seed=3
+    ).to_pandas().sort_values("vid")
+    assert (r1["label"].values == r2["label"].values).all()
+    assert set(r1["label"]).issubset(set(range(7)))
+    assert r1["label"].nunique() >= 5  # spread over most of the 7
