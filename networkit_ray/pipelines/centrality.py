@@ -551,3 +551,303 @@ def hits(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def permanence_centrality(
+    edges_ds, labels_ds, num_partitions: int = 8
+):
+    """PermanenceCentrality (reference centrality/PermanenceCentrality;
+    Chakraborty et al. KDD 2014): for vertex v in community c(v),
+    Perm(v) = I(v) / (E_max(v) * deg(v)) - (1 - c_in(v)) with
+    I(v) = # neighbors inside c(v), E_max(v) = max neighbors in any single
+    OTHER community (1 when v has no external neighbors), c_in(v) =
+    internal clustering coefficient = intra-community triangles at v /
+    C(I(v), 2) (0 when I(v) < 2).  The reference tree is empty, so the
+    published formula above IS the pinned contract (mirrored by the brute
+    pytest oracle).
+
+    Distributed decomposition: one labels join onto the symmetrized edge
+    table gives per-(v, neighbor-community) counts (I and E_max are two
+    grouped aggregates); c_in reuses the full triangle_counts pipeline on
+    the INTRA-COMMUNITY edge subset — permanence is label joins + an
+    existing kernel, no new shuffle shapes.  -> Dataset(vid, permanence)."""
+    from ray.data.aggregate import Max, Sum
+
+    from networkit_ray.pipelines.triangles import triangle_counts
+
+    canon = canonicalize_undirected(edges_ds, weight="one").materialize()
+    lab = labels_ds.map_batches(
+        lambda t: pa.table({"lvid": t["vid"], "lcomm": t["label"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    sym = symmetrize(canon).materialize()
+    j1 = sym.join(
+        lab, join_type="inner", num_partitions=num_partitions,
+        on=("src",), right_on=("lvid",),
+    ).map_batches(
+        lambda t: pa.table(
+            {"src": t["src"], "dst": t["dst"], "cs": t["lcomm"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j2 = j1.join(
+        lab, join_type="inner", num_partitions=num_partitions,
+        on=("dst",), right_on=("lvid",),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "vid": t["src"],
+                "dst": t["dst"],
+                "cs": t["cs"],
+                "cd": t["lcomm"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    def nbr_comm_counts(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "vid": t["vid"],
+                "cs": t["cs"],
+                "cd": t["cd"],
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return (
+            out.group_by(["vid", "cs", "cd"]).aggregate([("n", "sum")])
+            .rename_columns(["vid", "cs", "cd", "n"])
+        )
+
+    percomm = (
+        j2.map_batches(
+            nbr_comm_counts, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["vid", "cs", "cd"], num_partitions=num_partitions)
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    internal = percomm.map_batches(
+        lambda t: pa.table({"vid": t["vid"], "i": t["n"]}).filter(
+            pc.equal(t["cs"], t["cd"]).combine_chunks()
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).groupby("vid", num_partitions=num_partitions).aggregate(
+        Sum("i", alias_name="i")
+    ).materialize()
+    emax = percomm.map_batches(
+        lambda t: pa.table({"vid": t["vid"], "e": t["n"]}).filter(
+            pc.not_equal(t["cs"], t["cd"]).combine_chunks()
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).groupby("vid", num_partitions=num_partitions).aggregate(
+        Max("e", alias_name="emax")
+    ).materialize()
+    deg = (
+        sym.groupby("src", num_partitions=num_partitions)
+        .count()
+        .map_batches(
+            lambda t: pa.table({"vid": t["src"], "deg": t["count()"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    intra = j2.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["vid"],
+                "dst": t["dst"],
+                "w": pa.array(np.ones(t.num_rows, np.float64)),
+            }
+        ).filter(
+            pc.and_(
+                pc.equal(t["cs"], t["cd"]),
+                pc.less(t["vid"], t["dst"]),
+            ).combine_chunks()
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    tri = triangle_counts(intra, num_partitions=num_partitions).materialize()
+
+    base = deg.join(
+        internal, join_type="left_outer", num_partitions=num_partitions,
+        on=("vid",),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "vid": t["vid"],
+                "deg": t["deg"],
+                "i": pc.fill_null(pc.cast(t["i"], pa.int64()), 0),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    base = base.join(
+        emax, join_type="left_outer", num_partitions=num_partitions,
+        on=("vid",),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "vid": t["vid"],
+                "deg": t["deg"],
+                "i": t["i"],
+                "emax": pc.fill_null(pc.cast(t["emax"], pa.int64()), 0),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    base = base.join(
+        tri, join_type="left_outer", num_partitions=num_partitions,
+        on=("vid",),
+    )
+
+    def perm(t: pa.Table) -> pa.Table:
+        d = t["deg"].combine_chunks().to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        i = t["i"].combine_chunks().to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        em = t["emax"].combine_chunks().to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        tr = pc.fill_null(pc.cast(t["triangles"], pa.int64()), 0)
+        tr = tr.combine_chunks().to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        em = np.maximum(em, 1.0)
+        pairs = i * (i - 1) / 2.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cin = np.where(pairs > 0, tr / pairs, 0.0)
+            p = i / (em * np.maximum(d, 1.0)) - (1.0 - cin)
+        return pa.table({"vid": t["vid"], "permanence": p})
+
+    return base.map_batches(perm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def group_degree(edges_ds, k: int = 5, num_partitions: int = 8):
+    """GroupDegreeCentrality (reference centrality/GroupDegree): greedily
+    build a k-vertex group S maximizing the group degree
+    |N(S) \\ S| (neighbors of the group outside it) — the classic
+    (1 - 1/e) submodular greedy, ties -> smaller vid (deterministic).
+
+    Per round: the covered set S ∪ N(S) broadcasts once (ray.put sorted
+    array); every candidate's marginal gain is a vectorized
+    searchsorted-membership count over the symmetrized adjacency — one
+    pass over edges per round, k rounds, nothing edge-sized on the
+    driver.  -> (Dataset(rank, vid, gain), group_degree)."""
+    import ray
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    sym = symmetrize(
+        canonicalize_undirected(edges_ds, weight="one")
+    ).select_columns(["src", "dst"]).materialize()
+    chosen: list[int] = []
+    gains: list[int] = []
+    s_set: set[int] = set()
+    covered = np.empty(0, dtype=np.int64)  # sorted S ∪ N(S)
+    for _ in range(k):
+        cov_ref = ray.put(covered)
+        sel_ref = ray.put(np.array(sorted(s_set), dtype=np.int64))
+
+        def marginal(t: pa.Table) -> pa.Table:
+            cov = ray.get(cov_ref)
+            sel = ray.get(sel_ref)
+            s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            d = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+            # neighbor d counts for candidate s if d not already covered
+            # and d != s (self-loops were canonicalized away upstream)
+            new = ~_in_sorted(cov, d)
+            out = pa.table(
+                {"vid": s, "g": pa.array(new.astype(np.int64))}
+            )
+            g = out.group_by("vid").aggregate([("g", "sum")])
+            return g.rename_columns(["vid", "g"])
+
+        def _in_sorted(sorted_arr, x):
+            if len(sorted_arr) == 0:
+                return np.zeros(len(x), dtype=bool)
+            idx = np.searchsorted(sorted_arr, x)
+            idx = np.minimum(idx, len(sorted_arr) - 1)
+            return sorted_arr[idx] == x
+
+        cand = (
+            sym.map_batches(
+                marginal, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("vid", num_partitions=num_partitions)
+            .aggregate(Sum("g", alias_name="g"))
+        )
+
+        def adjust(t: pa.Table) -> pa.Table:
+            cov = ray.get(cov_ref)
+            sel = ray.get(sel_ref)
+            v = t["vid"].combine_chunks().to_numpy(zero_copy_only=False)
+            g = t["g"].combine_chunks().to_numpy(zero_copy_only=False)
+            # joining S removes v from the outside-neighbor set if it was
+            # covered-as-neighbor; members of S are not candidates
+            was_nbr = _in_sorted(cov, v) & ~_in_sorted(sel, v)
+            g = g - was_nbr.astype(np.int64)
+            keep = ~_in_sorted(sel, v)
+            return pa.table({"vid": v[keep], "g": g[keep]})
+
+        scored = cand.map_batches(
+            adjust, batch_format="pyarrow", zero_copy_batch=True
+        )
+        top = scored.sort(["g", "vid"], descending=[True, False]).limit(1)
+        row = top.take_all()
+        if not row:
+            break
+        v_star, gain = int(row[0]["vid"]), int(row[0]["g"])
+        if gain <= 0 and len(chosen) > 0 and covered.size >= 1:
+            # no positive marginal left: still fill the group (reference
+            # returns exactly k members), smallest-vid candidates win
+            pass
+        chosen.append(v_star)
+        gains.append(gain)
+        s_set.add(v_star)
+        # recompute covered = S ∪ N(S)
+        sel = np.array(sorted(s_set), dtype=np.int64)
+        sref = ray.put(sel)
+
+        def nbrs_of_s(t: pa.Table) -> pa.Table:
+            ss = ray.get(sref)
+            s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            d = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(ss, s)
+            idx = np.minimum(idx, len(ss) - 1)
+            m = ss[idx] == s
+            return pa.table({"vid": np.unique(d[m])})
+
+        nb = (
+            sym.map_batches(
+                nbrs_of_s, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("vid", num_partitions=num_partitions)
+            .count()
+            .to_pandas()["vid"]
+            .to_numpy(np.int64)
+        )
+        covered = np.union1d(nb, sel)
+    gd = int(len(np.setdiff1d(covered, np.array(sorted(s_set), np.int64))))
+    out = ray.data.from_arrow(
+        pa.table(
+            {
+                "rank": np.arange(len(chosen), dtype=np.int64),
+                "vid": np.array(chosen, dtype=np.int64),
+                "gain": np.array(gains, dtype=np.int64),
+            }
+        )
+    )
+    return out, gd

@@ -161,3 +161,84 @@ def test_algebraic_distance_separates_cliques(ray_session):
     ).to_pandas()
     top = got.sort_values("score", ascending=False).iloc[0]
     assert {int(top["src"]), int(top["dst"])} == {0, 10}
+
+
+@pytest.mark.parametrize("name", ["karate", "er200"])
+def test_permanence_centrality_brute(ray_session, name):
+    """Brute-force permanence (Chakraborty et al. 2014 formula, exactly
+    the engine's pinned contract) per vertex over a greedy-modularity
+    partition."""
+    import networkx as nx
+    from networkx.algorithms.community import greedy_modularity_communities
+
+    from networkit_ray.pipelines.centrality import permanence_centrality
+
+    G = fixture_graph(name)
+    part = {
+        int(v): i
+        for i, c in enumerate(greedy_modularity_communities(G))
+        for v in c
+    }
+    lab = ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": np.array(list(part.keys()), np.int64),
+                "label": np.array(list(part.values()), np.int64),
+            }
+        )
+    )
+    got = permanence_centrality(
+        edges_dataset(G), lab, num_partitions=3
+    ).to_pandas()
+    gd = dict(zip(got["vid"].astype(int), got["permanence"]))
+    for v in G.nodes:
+        nbrs = list(G[v])
+        internal = [u for u in nbrs if part[u] == part[v]]
+        ext = {}
+        for u in nbrs:
+            if part[u] != part[v]:
+                ext[part[u]] = ext.get(part[u], 0) + 1
+        emax = max(ext.values()) if ext else 1
+        i = len(internal)
+        tri = sum(
+            1
+            for a in internal
+            for b in internal
+            if a < b and G.has_edge(a, b)
+        )
+        cin = tri / (i * (i - 1) / 2) if i >= 2 else 0.0
+        want = i / (emax * max(G.degree(v), 1)) - (1 - cin)
+        assert abs(gd[int(v)] - want) < 1e-12, v
+
+
+@pytest.mark.parametrize("name", ["karate", "er200"])
+def test_group_degree_matches_brute_greedy(ray_session, name):
+    """The distributed greedy must replicate the brute greedy exactly
+    (same (gain desc, vid asc) tie-break) — members, gains, and the final
+    group degree."""
+    from networkit_ray.pipelines.centrality import group_degree
+
+    G = fixture_graph(name)
+    k = 4
+    got, gd = group_degree(edges_dataset(G), k=k, num_partitions=3)
+    got = got.to_pandas().sort_values("rank")
+
+    S, covered = set(), set()
+    want = []
+    for _ in range(k):
+        best = None
+        for v in sorted(G.nodes):
+            if v in S:
+                continue
+            gain = sum(1 for u in G[v] if u not in covered and u not in S)
+            if v in covered and v not in S:
+                gain -= 1
+            # covered tracks S ∪ N(S); recompute respecting membership
+            if best is None or gain > best[1]:
+                best = (v, gain)
+        S.add(best[0])
+        want.append(best)
+        covered = set(S) | {u for s in S for u in G[s]}
+    assert list(got["vid"].astype(int)) == [v for v, _ in want]
+    assert list(got["gain"].astype(int)) == [g for _, g in want]
+    assert gd == len(covered - S)
