@@ -1653,8 +1653,10 @@ def q_spectral_scores(sf_dir):
 
 
 def q_edge_scores(sf_dir):
-    """TriangleEdgeScore + SCANStructuralSimilarity + LocalDegreeScore on
-    the supplier co-part graph, joined on (src, dst)."""
+    """TriangleEdgeScore + SCANStructuralSimilarity + LocalDegreeScore +
+    SimmelianOverlap + LocalSimilarity + PrefixJaccard on the supplier
+    co-part graph, joined on (src, dst) — one carrier slot value-checks
+    the whole sparsification/edgescores score family."""
     tri = q_edge_triangle_scores(sf_dir).map_batches(
         lambda t: pa.table(
             {
@@ -1681,11 +1683,22 @@ def q_edge_scores(sf_dir):
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).materialize()
+    from networkit_ray.pipelines.edgescores import prefix_jaccard_scores
     from networkit_ray.pipelines.structure import (
         local_similarity_scores,
         simmelian_overlap_scores,
     )
 
+    pj = _round6(
+        prefix_jaccard_scores(_supplier_edges(sf_dir), k=5, num_partitions=P),
+        "score",
+    ).map_batches(
+        lambda t: pa.table(
+            {"src": t["src"], "dst": t["dst"], "prefix_jaccard": t["score"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
     sim = simmelian_overlap_scores(
         _supplier_edges(sf_dir), max_rank=5, num_partitions=P
     ).map_batches(
@@ -1706,7 +1719,7 @@ def q_edge_scores(sf_dir):
     ).materialize()
 
     out = tri
-    for other in (sc, ld, sim, ls):
+    for other in (sc, ld, sim, ls, pj):
         prev_cols = out.schema().names
         new_col = [c for c in other.schema().names if c not in ("src", "dst")]
         out = out.join(
@@ -3016,6 +3029,40 @@ FROM ue e LEFT JOIN ov o ON o.src = e.src AND o.dst = e.dst
 """
 )
 
+# PrefixJaccardScore: Jaccard of the two endpoints' top-k prefix neighbor
+# sets under the same deterministic (cn DESC, v ASC) ranking Simmelian
+# uses (engine rank "strictly-higher count < k" == ROW_NUMBER <= k under
+# a strict total order)
+_PREFIX_JACCARD_SQL = (
+    _SUPPLIER_PRELUDE
+    + """,
+wed AS (SELECT a.n AS u, b.n AS v FROM sym a JOIN sym b ON a.v = b.v AND a.n < b.n),
+cnt AS (SELECT u, v, COUNT(*) AS cn FROM wed GROUP BY 1, 2),
+ecn AS (SELECT e.src, e.dst, COALESCE(c.cn, 0) AS cn
+        FROM ue e LEFT JOIN cnt c ON c.u = e.src AND c.v = e.dst),
+dirv AS (SELECT src AS u, dst AS v, cn FROM ecn
+         UNION ALL SELECT dst, src, cn FROM ecn),
+rk AS (SELECT u, v,
+              ROW_NUMBER() OVER (PARTITION BY u ORDER BY cn DESC, v ASC) AS r
+       FROM dirv),
+topk AS (SELECT u, v FROM rk WHERE r <= 5),
+szs AS (SELECT u, COUNT(*) AS sz FROM topk GROUP BY 1),
+ov AS (SELECT e.src, e.dst, COUNT(*) AS inter
+       FROM ue e
+       JOIN topk ta ON ta.u = e.src
+       JOIN topk tb ON tb.u = e.dst AND tb.v = ta.v
+       GROUP BY 1, 2)
+SELECT e.src, e.dst,
+       FLOOR(CAST(COALESCE(o.inter, 0) AS DOUBLE)
+             / (su.sz + sv.sz - COALESCE(o.inter, 0))
+             * 1000000 + 0.5) / 1000000.0 AS prefix_jaccard
+FROM ue e
+JOIN szs su ON su.u = e.src
+JOIN szs sv ON sv.u = e.dst
+LEFT JOIN ov o ON o.src = e.src AND o.dst = e.dst
+"""
+)
+
 # Local Similarity score: Jaccard-ranked neighbors, 1 - ln(rank)/ln(deg),
 # max over both directions
 _LOCAL_SIM_SQL = (
@@ -3097,12 +3144,14 @@ def _merged_oracles() -> dict[str, str]:
             f"SELECT t.src, t.dst, t.cn, t.score AS triangle_score, "
             f"sc.score AS scan_score, ld.score AS local_degree_score, "
             f"so.overlap AS simmelian_overlap, "
-            f"ls.score AS local_similarity_score "
+            f"ls.score AS local_similarity_score, "
+            f"pj.prefix_jaccard "
             f"FROM ({_EDGE_TRI_SQL}) t "
             f"JOIN ({_SCAN_SQL}) sc USING (src, dst) "
             f"JOIN ({_LOCAL_DEGREE_SQL}) ld USING (src, dst) "
             f"JOIN ({_SIMMELIAN_SQL}) so USING (src, dst) "
-            f"JOIN ({_LOCAL_SIM_SQL}) ls USING (src, dst)"
+            f"JOIN ({_LOCAL_SIM_SQL}) ls USING (src, dst) "
+            f"JOIN ({_PREFIX_JACCARD_SQL}) pj USING (src, dst)"
         ),
         "partition_metrics": (
             f"SELECT *, CAST(1 AS BIGINT) AS mapeq_le_singletons,"

@@ -255,7 +255,11 @@ def knn_ivf(
 
 def _block_refs(materialized_ds):
     """Object-store block handles of a materialized Dataset — refs only,
-    no data touches the driver."""
+    no data touches the driver.  ``iter_internal_ref_bundles`` is a
+    private Ray Data API, verified against Ray 2.49.2 (the version this
+    engine pins); the AttributeError fallback covers the pre-2.10 public
+    accessor, and any future removal fails loudly here rather than
+    corrupting results."""
     try:
         bundles = materialized_ds.iter_internal_ref_bundles()
         return [r for b in bundles for r in b.block_refs]
