@@ -234,3 +234,113 @@ def pagerank_nibble(
     members = np.sort(vids[: best + 1])
     out = ray.data.from_arrow(pa.table({"vid": pa.array(members, pa.int64())}))
     return out, float(phi[best])
+
+
+def greedy_community_expansion(
+    edges_ds,
+    seed_vid: int,
+    max_size: int = 100,
+    num_partitions: int = 8,
+):
+    """GreedyCommunityExpansion (reference scd/GCE, conductance variant):
+    grow a community C from the seed one vertex at a time, each round
+    admitting the boundary candidate that MINIMIZES the resulting
+    conductance phi(C) = cut(C) / min(vol(C), 2W - vol(C)) (ties ->
+    smaller vid); stop when no candidate improves phi or |C| = max_size.
+
+    Distributed shape (same machinery as GroupDegree): C broadcasts per
+    round as a sorted array; one vectorized pass over the symmetrized
+    edge table yields every candidate's links-into-C count, from which
+    cut' = cut + deg(v) - 2*links(v, C) and vol' = vol + deg(v) follow in
+    closed form — only (candidate, links) pairs reach the driver, and
+    only for boundary candidates.  Local communities are small, so the
+    O(|C|) rounds are the algorithm's inherent cost (the reference's loop
+    is identical); each round is fully distributed.
+    -> Dataset(vid) of the community, plus the final conductance as a
+    one-row attached table: (Dataset(vid), phi)."""
+    import ray
+    import ray.data
+
+    canon = canonicalize_undirected(edges_ds, weight="one").materialize()
+    sym = symmetrize(canon).select_columns(["src", "dst"]).materialize()
+    W2 = 2.0 * canon.count()  # total volume (unit weights)
+    deg_df = (
+        sym.groupby("src", num_partitions=num_partitions).count().to_pandas()
+    )
+    # degrees broadcast once: vertex-sized int array pair, the same
+    # small side every seeded-community round reuses
+    dvids = np.sort(deg_df["src"].to_numpy(np.int64))
+    dvals = (
+        deg_df.sort_values("src")["count()"].to_numpy(np.int64)
+    )
+    dref = ray.put((dvids, dvals))
+
+    def deg_of(v: np.ndarray) -> np.ndarray:
+        vv, dd = ray.get(dref)
+        idx = np.searchsorted(vv, v)
+        idx = np.minimum(idx, len(vv) - 1)
+        return np.where(vv[idx] == v, dd[idx], 0)
+
+    C = {int(seed_vid)}
+    seed_deg = int(deg_of(np.array([seed_vid], np.int64))[0])
+    vol = float(seed_deg)
+    cut = float(seed_deg)
+
+    def phi(c: float, v: float) -> float:
+        den = min(v, W2 - v)
+        return c / den if den > 0 else np.inf
+
+    cur_phi = phi(cut, vol)
+    while len(C) < max_size:
+        cref = ray.put(np.array(sorted(C), dtype=np.int64))
+
+        def links_into_c(t: pa.Table) -> pa.Table:
+            cs = ray.get(cref)
+            s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            d = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+            # candidate s outside C with neighbor d inside C
+            i1 = np.minimum(np.searchsorted(cs, d), len(cs) - 1)
+            d_in = cs[i1] == d
+            i2 = np.minimum(np.searchsorted(cs, s), len(cs) - 1)
+            s_out = cs[i2] != s
+            m = d_in & s_out
+            out = pa.table(
+                {"vid": s[m], "l": pa.array(np.ones(int(m.sum()), np.int64))}
+            )
+            return (
+                out.group_by("vid").aggregate([("l", "sum")])
+                .rename_columns(["vid", "l"])
+            )
+
+        cand = (
+            sym.map_batches(
+                links_into_c, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("vid", num_partitions=num_partitions)
+            .aggregate(Sum("l", alias_name="l"))
+            .to_pandas()
+        )
+        if len(cand) == 0:
+            break
+        v = cand["vid"].to_numpy(np.int64)
+        l = cand["l"].to_numpy(np.int64)
+        dv = deg_of(v)
+        new_cut = cut + dv - 2.0 * l
+        new_vol = vol + dv
+        den = np.minimum(new_vol, W2 - new_vol)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            new_phi = np.where(den > 0, new_cut / den, np.inf)
+        order = np.lexsort((v, new_phi))
+        best = order[0]
+        if new_phi[best] >= cur_phi - 1e-15:
+            break
+        C.add(int(v[best]))
+        cut, vol, cur_phi = (
+            float(new_cut[best]),
+            float(new_vol[best]),
+            float(new_phi[best]),
+        )
+    out = ray.data.from_arrow(
+        pa.table({"vid": np.array(sorted(C), dtype=np.int64)})
+    )
+    return out, cur_phi

@@ -101,3 +101,50 @@ def test_pagerank_nibble_isolated_seed(ray_session):
     )
     assert out.to_pandas()["vid"].tolist() == [999]
     assert phi == 1.0
+
+
+@pytest.mark.parametrize("seed", [0, 33, 16])
+def test_gce_matches_brute_greedy(ray_session, seed):
+    """greedy_community_expansion must replicate the brute conductance
+    greedy exactly (same formulas, same (phi asc, vid asc) tie-break)."""
+    from networkit_ray.pipelines.scd import greedy_community_expansion
+
+    G = fixture_graph("karate")
+    got, got_phi = greedy_community_expansion(
+        edges_dataset(G), seed_vid=seed, max_size=12, num_partitions=3
+    )
+    got = sorted(got.to_pandas()["vid"].astype(int))
+
+    W2 = 2 * G.number_of_edges()
+    C = {seed}
+    vol = G.degree(seed)
+    cut = G.degree(seed)
+
+    def phi(c, v):
+        den = min(v, W2 - v)
+        return c / den if den > 0 else float("inf")
+
+    cur = phi(cut, vol)
+    while len(C) < 12:
+        cands = {}
+        for u in C:
+            for x in G[u]:
+                if x not in C:
+                    cands[x] = cands.get(x, 0) + 1
+        if not cands:
+            break
+        best = None
+        for x in sorted(cands):
+            nc = cut + G.degree(x) - 2 * cands[x]
+            nv = vol + G.degree(x)
+            p = phi(nc, nv)
+            if best is None or p < best[1] - 1e-15:
+                best = (x, p, nc, nv)
+        if best[1] >= cur - 1e-15:
+            break
+        C.add(best[0])
+        cut, vol, cur = best[2], best[3], best[1]
+    assert got == sorted(C)
+    assert abs(got_phi - cur) < 1e-12
+    # the found community is denser than its boundary on karate
+    assert cur < 1.0
