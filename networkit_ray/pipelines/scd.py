@@ -344,3 +344,135 @@ def greedy_community_expansion(
         pa.table({"vid": np.array(sorted(C), dtype=np.int64)})
     )
     return out, cur_phi
+
+
+def lfm_local(
+    edges_ds,
+    seed_vid: int,
+    alpha: float = 1.0,
+    max_size: int = 100,
+    max_rounds: int = 200,
+    num_partitions: int = 8,
+):
+    """LFMLocal (reference scd/LFMLocal; Lancichinetti/Fortunato/Kertesz
+    2009 local fitness method): greedily grow C from the seed by the
+    fitness f(C) = k_in / (k_in + k_out)^alpha — each round admit the
+    boundary candidate with the highest resulting fitness (ties ->
+    smaller vid), then PRUNE any member (except the seed) whose removal
+    raises fitness, until no addition improves or |C| = max_size.
+
+    Same distributed shape as greedy_community_expansion: C broadcasts
+    per round; ONE vectorized edge pass yields links-into-C for both the
+    boundary candidates and the members (s in C rows), so the add step
+    and the prune check share a single scan.  k_in/k_out deltas are
+    closed-form from (links, degree).  -> (Dataset(vid), fitness)."""
+    import ray
+    import ray.data
+
+    canon = canonicalize_undirected(edges_ds, weight="one").materialize()
+    sym = symmetrize(canon).select_columns(["src", "dst"]).materialize()
+    deg_df = (
+        sym.groupby("src", num_partitions=num_partitions).count().to_pandas()
+    )
+    dvids = np.sort(deg_df["src"].to_numpy(np.int64))
+    dvals = deg_df.sort_values("src")["count()"].to_numpy(np.int64)
+    dref = ray.put((dvids, dvals))
+
+    def deg_of(v: np.ndarray) -> np.ndarray:
+        vv, dd = ray.get(dref)
+        idx = np.minimum(np.searchsorted(vv, v), len(vv) - 1)
+        return np.where(vv[idx] == v, dd[idx], 0)
+
+    def fitness(k_in: float, k_out: float) -> float:
+        den = (k_in + k_out) ** alpha
+        return k_in / den if den > 0 else 0.0
+
+    C = {int(seed_vid)}
+    sd = float(deg_of(np.array([seed_vid], np.int64))[0])
+    k_in, k_out = 0.0, sd
+    cur = fitness(k_in, k_out)
+    for _ in range(max_rounds):
+        cref = ray.put(np.array(sorted(C), dtype=np.int64))
+
+        def links_scan(t: pa.Table) -> pa.Table:
+            cs = ray.get(cref)
+            s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            d = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+            i1 = np.minimum(np.searchsorted(cs, d), len(cs) - 1)
+            d_in = cs[i1] == d
+            m = d_in  # rows whose NEIGHBOR is in C; src may be in or out
+            out = pa.table(
+                {
+                    "vid": s[m],
+                    "l": pa.array(np.ones(int(m.sum()), np.int64)),
+                }
+            )
+            return (
+                out.group_by("vid").aggregate([("l", "sum")])
+                .rename_columns(["vid", "l"])
+            )
+
+        links = (
+            sym.map_batches(
+                links_scan, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("vid", num_partitions=num_partitions)
+            .aggregate(Sum("l", alias_name="l"))
+            .to_pandas()
+        )
+        v = links["vid"].to_numpy(np.int64)
+        l = links["l"].to_numpy(np.float64)
+        dv = deg_of(v).astype(np.float64)
+        cs = np.array(sorted(C), dtype=np.int64)
+        i1 = np.minimum(np.searchsorted(cs, v), len(cs) - 1)
+        in_c = cs[i1] == v
+
+        # ONE move per round from this consistent snapshot: the best
+        # addition (boundary candidate) or the best removal (non-seed
+        # member), whichever raises fitness more; stop when neither does
+        best = None  # (fitness, vid, is_add, l, d)
+        if len(C) < max_size and (~in_c).any():
+            vo, lo, do = v[~in_c], l[~in_c].astype(float), dv[~in_c]
+            nf = np.array(
+                [
+                    fitness(k_in + 2.0 * l_, k_out - 2.0 * l_ + d_)
+                    for l_, d_ in zip(lo, do)
+                ]
+            )
+            order = np.lexsort((vo, -nf))
+            b = order[0]
+            best = (float(nf[b]), int(vo[b]), True, float(lo[b]), float(do[b]))
+        if in_c.any() and len(C) > 1:
+            vi, li, di = v[in_c], l[in_c].astype(float), dv[in_c]
+            keep = vi != int(seed_vid)
+            if keep.any():
+                vi, li, di = vi[keep], li[keep], di[keep]
+                rf = np.array(
+                    [
+                        fitness(k_in - 2.0 * l_, k_out + 2.0 * l_ - d_)
+                        for l_, d_ in zip(li, di)
+                    ]
+                )
+                order = np.lexsort((vi, -rf))
+                b = order[0]
+                if best is None or rf[b] > best[0] + 1e-15:
+                    best = (
+                        float(rf[b]), int(vi[b]), False,
+                        float(li[b]), float(di[b]),
+                    )
+        if best is None or best[0] <= cur + 1e-15:
+            break
+        f_new, bv, is_add, bl, bd = best
+        if is_add:
+            C.add(bv)
+            k_in += 2.0 * bl
+            k_out += bd - 2.0 * bl
+        else:
+            C.discard(bv)
+            k_in -= 2.0 * bl
+            k_out += 2.0 * bl - bd
+        cur = f_new
+    out = ray.data.from_arrow(
+        pa.table({"vid": np.array(sorted(C), dtype=np.int64)})
+    )
+    return out, cur

@@ -148,3 +148,57 @@ def test_gce_matches_brute_greedy(ray_session, seed):
     assert abs(got_phi - cur) < 1e-12
     # the found community is denser than its boundary on karate
     assert cur < 1.0
+
+
+@pytest.mark.parametrize("seed,alpha", [(0, 1.0), (33, 1.0), (5, 0.9)])
+def test_lfm_local_matches_brute(ray_session, seed, alpha):
+    """lfm_local must replicate the brute one-move-per-round fitness
+    greedy exactly (same snapshot semantics and tie-breaks)."""
+    from networkit_ray.pipelines.scd import lfm_local
+
+    G = fixture_graph("karate")
+    got, got_f = lfm_local(
+        edges_dataset(G), seed_vid=seed, alpha=alpha, max_size=15,
+        num_partitions=3,
+    )
+    got = sorted(got.to_pandas()["vid"].astype(int))
+
+    def fit(ki, ko):
+        den = (ki + ko) ** alpha
+        return ki / den if den > 0 else 0.0
+
+    C = {seed}
+    ki, ko = 0.0, float(G.degree(seed))
+    cur = fit(ki, ko)
+    for _ in range(200):
+        links = {}
+        for u in C:
+            for x in G[u]:
+                links[x] = links.get(x, 0) + 1
+        best = None
+        if len(C) < 15:
+            for x in sorted(set(links) - C):
+                f = fit(ki + 2 * links[x], ko - 2 * links[x] + G.degree(x))
+                if best is None or f > best[0] + 1e-15:
+                    best = (f, x, True)
+        if len(C) > 1:
+            for x in sorted(C - {seed}):
+                lx = links.get(x, 0)
+                f = fit(ki - 2 * lx, ko + 2 * lx - G.degree(x))
+                if best is None or f > best[0] + 1e-15:
+                    best = (f, x, False)
+        if best is None or best[0] <= cur + 1e-15:
+            break
+        f, x, add = best
+        lx = links.get(x, 0)
+        if add:
+            C.add(x)
+            ki += 2 * lx
+            ko += G.degree(x) - 2 * lx
+        else:
+            C.discard(x)
+            ki -= 2 * lx
+            ko += 2 * lx - G.degree(x)
+        cur = f
+    assert got == sorted(C)
+    assert abs(got_f - cur) < 1e-12
