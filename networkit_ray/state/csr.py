@@ -1570,6 +1570,16 @@ class BSPGraph:
                     [a.ms_depth_table.remote(wave) for a in self.actors]
                 )
             )
+        if not parts:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "source": np.empty(0, np.int64),
+                        "vid": np.empty(0, np.int64),
+                        "depth": np.empty(0, np.int64),
+                    }
+                )
+            )
         ds = parts[0]
         for p in parts[1:]:
             ds = ds.union(p)
