@@ -476,3 +476,87 @@ def lfm_local(
         pa.table({"vid": np.array(sorted(C), dtype=np.int64)})
     )
     return out, cur
+
+
+def clique_detect(edges_ds, seed_vid: int, num_partitions: int = 8):
+    """CliqueDetect (reference scd/CliqueDetect): the largest clique
+    CONTAINING the seed, i.e. {seed} ∪ (maximum clique of the subgraph
+    induced by N(seed)); ties -> lexicographically smallest vertex set.
+
+    Distributed shape: one broadcast filter extracts the seed's ego-net
+    edge set (both endpoints in N(seed)) — ego nets are degree-bounded,
+    the ONLY part of the graph this seeded query ever materializes — and
+    the exact max-clique search runs driver-side on that small induced
+    subgraph (branch and bound over adjacency bitsets, the same oriented
+    search maximal_cliques uses per pivot).  -> Dataset(vid)."""
+    import ray
+    import ray.data
+
+    canon = canonicalize_undirected(edges_ds, weight="one").materialize()
+    sym = symmetrize(canon).select_columns(["src", "dst"]).materialize()
+    sv = int(seed_vid)
+    nbr_df = sym.filter(expr=f"src == {sv}").to_pandas()
+    if "dst" not in nbr_df.columns:  # isolated seed: empty, schema-less
+        nbr_df = None
+    nbrs = (
+        np.empty(0, np.int64)
+        if nbr_df is None
+        else nbr_df["dst"].to_numpy(np.int64)
+    )
+    nbrs = np.unique(nbrs[nbrs != sv])
+    if len(nbrs) == 0:
+        return ray.data.from_arrow(
+            pa.table({"vid": np.array([sv], dtype=np.int64)})
+        )
+    nref = ray.put(np.sort(nbrs))
+
+    def ego(t: pa.Table) -> pa.Table:
+        ns = ray.get(nref)
+        s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        i1 = np.minimum(np.searchsorted(ns, s), len(ns) - 1)
+        i2 = np.minimum(np.searchsorted(ns, d), len(ns) - 1)
+        m = (ns[i1] == s) & (ns[i2] == d)
+        return pa.table({"src": s[m], "dst": d[m]})
+
+    ego_df = canon.map_batches(
+        ego, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    # exact max clique over the ego net (adjacency bitsets, greedy-order
+    # branch and bound; |N(seed)| vertices)
+    idx = {int(v): i for i, v in enumerate(nbrs)}
+    n = len(nbrs)
+    adj = [0] * n
+    for s, d in zip(ego_df["src"], ego_df["dst"]):
+        a, b = idx[int(s)], idx[int(d)]
+        if a != b:
+            adj[a] |= 1 << b
+            adj[b] |= 1 << a
+    best = 0  # bitmask of the best clique among neighbors
+
+    def bits(x: int):
+        while x:
+            b = x & -x
+            yield b.bit_length() - 1
+            x ^= b
+
+    def bb(cur: int, cand: int, size: int):
+        nonlocal best
+        if size + bin(cand).count("1") <= bin(best).count("1"):
+            return
+        if cand == 0:
+            if size > bin(best).count("1") or (
+                size == bin(best).count("1") and cur < best
+            ):
+                best = cur
+            return
+        # branch on the lowest candidate (deterministic, lexicographic)
+        v = (cand & -cand).bit_length() - 1
+        bb(cur | (1 << v), cand & adj[v], size + 1)
+        bb(cur, cand & ~(1 << v), size)
+
+    bb(0, (1 << n) - 1, 0)
+    members = sorted([sv] + [int(nbrs[i]) for i in bits(best)])
+    return ray.data.from_arrow(
+        pa.table({"vid": np.array(members, dtype=np.int64)})
+    )

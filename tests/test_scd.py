@@ -202,3 +202,37 @@ def test_lfm_local_matches_brute(ray_session, seed, alpha):
         cur = f
     assert got == sorted(C)
     assert abs(got_f - cur) < 1e-12
+
+
+@pytest.mark.parametrize("seed", [0, 33, 25])
+def test_clique_detect_vs_networkx(ray_session, seed):
+    """Largest clique containing the seed == max over networkx
+    find_cliques restricted to cliques containing the seed (ties ->
+    lexicographically smallest set)."""
+    import networkx as nx
+
+    from networkit_ray.pipelines.scd import clique_detect
+
+    G = fixture_graph("karate")
+    got = sorted(
+        clique_detect(edges_dataset(G), seed_vid=seed, num_partitions=2)
+        .to_pandas()["vid"].astype(int)
+    )
+    best = None
+    for c in nx.find_cliques(G):
+        if seed in c:
+            key = (-len(c), sorted(int(x) for x in c))
+            if best is None or key < best:
+                best = key
+    assert got == best[1]
+
+
+def test_clique_detect_isolated_seed(ray_session):
+    import networkx as nx
+
+    from networkit_ray.pipelines.scd import clique_detect
+
+    G = nx.path_graph(5)
+    G.add_node(99)
+    got = clique_detect(edges_dataset(G), seed_vid=99).to_pandas()
+    assert list(got["vid"]) == [99]
