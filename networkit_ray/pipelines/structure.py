@@ -978,3 +978,42 @@ def algebraic_distance_scores(
         return pa.table({"src": t["src"], "dst": t["dst"], "score": score})
 
     return jv.map_batches(dist, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def random_edge_scores(edges_ds, seed: int = 42):
+    """RandomEdgeScore (reference sparsification/RandomEdgeScore): the
+    uniform-random sparsifier baseline — a deterministic hash-uniform
+    score per canonical edge (counter-style, so partitioning-invariant
+    and reproducible, unlike a stateful RNG).  -> Dataset(src, dst, score)."""
+    from networkit_ray.sources.generators import _uniform
+
+    canon = canonicalize_undirected(edges_ds, weight="one")
+
+    def score(t: pa.Table) -> pa.Table:
+        s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = s * np.int64(1_000_003) + d * np.int64(7919)
+        return pa.table(
+            {"src": s, "dst": d, "score": _uniform(key, 40, seed)}
+        )
+
+    return canon.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def random_node_edge_scores(edges_ds, seed: int = 42):
+    """RandomNodeEdgeScore (reference sparsification/RandomNodeEdgeScore):
+    per-NODE uniform randomness combined per edge (max of the endpoint
+    draws — edges at "kept" nodes rank high together, the local-sampling
+    baseline).  Deterministic hash draws.  -> Dataset(src, dst, score)."""
+    from networkit_ray.sources.generators import _uniform
+
+    canon = canonicalize_undirected(edges_ds, weight="one")
+
+    def score(t: pa.Table) -> pa.Table:
+        s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        us = _uniform(s, 41, seed)
+        ud = _uniform(d, 41, seed)
+        return pa.table({"src": s, "dst": d, "score": np.maximum(us, ud)})
+
+    return canon.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -242,3 +242,34 @@ def test_group_degree_matches_brute_greedy(ray_session, name):
     assert list(got["vid"].astype(int)) == [v for v, _ in want]
     assert list(got["gain"].astype(int)) == [g for _, g in want]
     assert gd == len(covered - S)
+
+
+def test_random_edge_scores(ray_session):
+    from networkit_ray.pipelines.structure import (
+        global_threshold_filter,
+        random_edge_scores,
+        random_node_edge_scores,
+    )
+
+    G = fixture_graph("er200")
+    a = random_edge_scores(edges_dataset(G), seed=1).to_pandas()
+    b = random_edge_scores(
+        edges_dataset(G).repartition(7), seed=1
+    ).to_pandas()
+    a = a.sort_values(["src", "dst"]).reset_index(drop=True)
+    b = b.sort_values(["src", "dst"]).reset_index(drop=True)
+    assert np.allclose(a["score"], b["score"])
+    assert len(a) == G.number_of_edges()
+    assert a["score"].between(0, 1).all()
+    # roughly uniform: thresholding at 0.5 keeps about half
+    kept = global_threshold_filter(
+        random_edge_scores(edges_dataset(G), seed=1), "score", 0.5
+    ).count()
+    assert 0.35 * len(a) < kept < 0.65 * len(a)
+    # node variant: per-node draws shared across incident edges
+    n = random_node_edge_scores(edges_dataset(G), seed=2).to_pandas()
+    from networkit_ray.sources.generators import _uniform
+
+    uv = _uniform(n["src"].to_numpy(np.int64), 41, 2)
+    ud = _uniform(n["dst"].to_numpy(np.int64), 41, 2)
+    assert np.allclose(n["score"], np.maximum(uv, ud))
