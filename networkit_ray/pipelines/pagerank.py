@@ -42,11 +42,14 @@ def pagerank(
     num_partitions: int = 8,
     engine: str = "dataset",
     checkpoint=None,
+    exchange: str = "auto",
 ):
     """edges(src,dst,w) [+ vertices(vid)] -> (Dataset(vid, score), iterations).
 
     ``fixed_iters`` runs exactly that many iterations (the SQL-oracle queries
     use this for determinism); otherwise stop when the L1 residual < ``tol``.
+    ``exchange`` (actor engine only) picks the BSP message exchange:
+    "grouped" (scale path, checkpointable) / "pairwise" / "auto".
     """
     if engine == "actor":
         from networkit_ray.state.csr import bsp_pagerank
@@ -60,6 +63,7 @@ def pagerank(
             fixed_iters=fixed_iters,
             num_partitions=num_partitions,
             checkpoint=checkpoint,
+            exchange=exchange,
         )
     return _pagerank_dataset(
         edges_ds, vertices_ds, damping, tol, max_iter, fixed_iters, num_partitions

@@ -1085,18 +1085,17 @@ class BSPGraph:
         num_groups=None,
     ):
         """exchange: "pairwise" = one message object per partition pair per
-        round (P^2); "grouped" = hierarchical merge via GroupMerger actors
+        round (P^2); "grouped" = hierarchical group-bundled exchange
         (P*G objects + fused apply/emit steps — the scale path); "auto" =
-        grouped when P >= 4 and no checkpointing (lineage checkpoints run
-        on the pairwise loop)."""
+        grouped when P >= 4.  Both exchanges support per-partition lineage
+        checkpoints + resume, so the north rule's scaling AND
+        mid-iteration resume hold in the SAME run."""
         if exchange == "auto":
-            exchange = (
-                "grouped" if self.P >= 4 and not (checkpoint or {}).get("dir")
-                else "pairwise"
-            )
+            exchange = "grouped" if self.P >= 4 else "pairwise"
         if exchange == "grouped":
             return self._pagerank_grouped(
-                damping, tol, max_iter, fixed_iters, stats, num_groups
+                damping, tol, max_iter, fixed_iters, stats, num_groups,
+                checkpoint=checkpoint,
             )
         P, actors = self.P, self.actors
         ck = checkpoint or {}
@@ -1163,7 +1162,8 @@ class BSPGraph:
         return self._collect("scores_table"), it
 
     def _pagerank_grouped(
-        self, damping, tol, max_iter, fixed_iters, stats, num_groups=None
+        self, damping, tol, max_iter, fixed_iters, stats, num_groups=None,
+        checkpoint=None,
     ):
         """Pipelined hierarchical BSP: round r's fused step applies round
         r-1's bundles then emits round r's; the final emitted round is
@@ -1171,18 +1171,53 @@ class BSPGraph:
         P*G bundles + P residuals (vs P^2 + 2P pairwise); tasks per round:
         P fused steps (vs 2P).  Convergence mode syncs every CHECK rounds
         on the (one-round-lagged) residuals — overshoot only tightens the
-        fixpoint."""
+        fixpoint.
+
+        Checkpointing rides the lag: step ``it`` applies iteration
+        ``it-1``, so when iteration K = it-1 is a checkpoint multiple the
+        driver enqueues per-actor ``checkpoint`` tasks right behind step
+        ``it`` (per-actor serial order IS the barrier — no extra sync),
+        gets the manifests, and commits the iteration.  The final
+        iteration (applied by the trailing wave) checkpoints after it.
+        Resume loads the latest committed iteration into actor scores and
+        re-enters the loop with a fresh emit — the accumulation order is
+        identical, so resumed == uninterrupted bit-for-bit."""
         self._setup_grouped(num_groups)
         P, actors = self.P, self.actors
         pos = self._pos
         G = len(self._groups)
+        ck = checkpoint or {}
+        run_dir, every = ck.get("dir"), ck.get("every", 0)
+        job_id = ck.get("job_id", "job")
+        start_it = 0
         ray.get([a.pr_init.remote(self.n) for a in actors])
+        if run_dir and ck.get("resume"):
+            latest = lineage.latest_complete_iter(run_dir)
+            if latest is not None:
+                ray.get(
+                    [a.load_checkpoint.remote(run_dir, latest) for a in actors]
+                )
+                start_it = latest
         CHECK = 4
-        it = 0
+        it = start_it
         iters_target = fixed_iters if fixed_iters is not None else max_iter
         prev = None  # prev[s] = [resid_ref, bundle_g0_ref, .., bundle_gG-1_ref]
         resid_refs: dict[int, list] = {}
         stop = False
+
+        def do_checkpoint(k: int):
+            # enqueued behind the step that applied iteration k: per-actor
+            # serial execution means every checkpoint reads post-apply state
+            ray.get(
+                [a.checkpoint.remote(run_dir, k, job_id, "score") for a in actors]
+            )
+            resid = None
+            for kk in sorted(resid_refs):
+                if kk <= k:
+                    resid = sum(ray.get(resid_refs.pop(kk)))
+            lineage.commit_iteration(run_dir, k, P, {"resid": resid})
+            return resid
+
         t_loop = time.perf_counter()
         while it < iters_target and not stop:
             it += 1
@@ -1198,26 +1233,40 @@ class BSPGraph:
                         damping, False, *[prev[s][1 + g] for s in range(P)]
                     )
                 step_refs.append(list(r))
-            if it >= 2:
+            if it >= start_it + 2:
                 resid_refs[it - 1] = [sr[0] for sr in step_refs]
             prev = step_refs
-            if fixed_iters is None and it % CHECK == 0 and resid_refs:
+            applied = it - 1  # iteration whose apply step `it` performs
+            if (
+                run_dir and every and applied > start_it
+                and applied % every == 0
+            ):
+                resid = do_checkpoint(applied)
+                if fixed_iters is None and resid is not None and resid < tol:
+                    stop = True
+            if fixed_iters is None and not stop and it % CHECK == 0 and resid_refs:
                 last = None
                 for k in sorted(resid_refs):
                     last = sum(ray.get(resid_refs.pop(k)))
                 if last is not None and last < tol:
                     stop = True
         # apply the last emitted round
-        ray.get(
-            [
-                actors[t].pr_apply_bundles.remote(
-                    damping, *[prev[s][1 + pos[t][0]] for s in range(P)]
-                )
-                for t in range(P)
-            ]
-        )
+        if prev is not None:
+            ray.get(
+                [
+                    actors[t].pr_apply_bundles.remote(
+                        damping, *[prev[s][1 + pos[t][0]] for s in range(P)]
+                    )
+                    for t in range(P)
+                ]
+            )
         for k in sorted(resid_refs):
             ray.get(resid_refs.pop(k))
+        if run_dir and every and it > start_it and it % every == 0:
+            ray.get(
+                [a.checkpoint.remote(run_dir, it, job_id, "score") for a in actors]
+            )
+            lineage.commit_iteration(run_dir, it, P, {"resid": None})
         if stats is not None:
             stats.setdefault("iter_wall_s", []).append(
                 time.perf_counter() - t_loop
@@ -1654,6 +1703,7 @@ def bsp_pagerank(
     checkpoint=None,
     stats=None,
     actor_num_cpus=0.25,
+    exchange="auto",
 ):
     g = BSPGraph(edges_ds, vertices_ds, num_partitions, actor_num_cpus)
     try:
@@ -1664,6 +1714,7 @@ def bsp_pagerank(
             fixed_iters=fixed_iters,
             checkpoint=checkpoint,
             stats=stats,
+            exchange=exchange,
         )
     finally:
         g.shutdown()
