@@ -1459,7 +1459,8 @@ def q_linkpred_auc(sf_dir):
     from networkit_ray.pipelines.linkpred import link_prediction_auc
 
     out = link_prediction_auc(
-        _edges(sf_dir), holdout_mod=5, neg_mod=17, seed=0, num_partitions=P
+        _edges(sf_dir), holdout_mod=5, neg_per_vertex=8, seed=0,
+        num_partitions=P,
     )
     return _round6(_round6(out, "auc_roc"), "auc_pr")
 
@@ -2949,11 +2950,18 @@ train AS (SELECT * FROM canon WHERE (src * 1000003 + dst * 7919 + 0) % 5 <> 0),
 test AS (SELECT * FROM canon WHERE (src * 1000003 + dst * 7919 + 0) % 5 = 0),
 verts AS (SELECT DISTINCT src AS vid FROM canon
           UNION SELECT DISTINCT dst FROM canon),
+nmax AS (SELECT MAX(vid) + 1 AS m FROM verts),
+draws AS (
+  SELECT v0.vid AS u, (v0.vid * 1000003 + g.i * 40503 + 0) % m AS v
+  FROM verts v0 CROSS JOIN nmax CROSS JOIN generate_series(0, 7) AS g(i)
+),
 negs AS (
-  SELECT a.vid AS u, b.vid AS v
-  FROM verts a JOIN verts b
-    ON a.vid < b.vid AND (a.vid * 7919 + b.vid * 104729) % 17 = 0
-  WHERE NOT EXISTS (SELECT 1 FROM canon c WHERE c.src = a.vid AND c.dst = b.vid)
+  SELECT DISTINCT LEAST(d.u, d.v) AS u, GREATEST(d.u, d.v) AS v
+  FROM draws d JOIN verts vv ON vv.vid = d.v
+  WHERE d.u <> d.v
+    AND NOT EXISTS (SELECT 1 FROM canon c
+                    WHERE c.src = LEAST(d.u, d.v)
+                      AND c.dst = GREATEST(d.u, d.v))
 ),
 cands AS (SELECT src AS u, dst AS v, 1 AS lab FROM test
           UNION ALL SELECT u, v, 0 FROM negs),

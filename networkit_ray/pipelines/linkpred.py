@@ -63,7 +63,7 @@ def random_link_sampler(
 def link_prediction_auc(
     edges_ds,
     holdout_mod: int = 5,
-    neg_mod: int = 17,
+    neg_per_vertex: int = 8,
     seed: int = 0,
     num_partitions: int = 8,
     fold: int = 0,
@@ -74,11 +74,16 @@ def link_prediction_auc(
     NEIGHBORS on the training graph, and compute ROC-AUC (Mann-Whitney
     with tie-averaged ranks) + PR-AUC (average precision, ties broken
     deterministically by (u, v)) over candidates = held-out positives +
-    hash-sampled non-edge negatives.  Negatives are pairs a < b from the
-    vertex set with (a*7919 + b*104729) % neg_mod == 0 that are NOT edges
-    — the same closed form the SQL oracle evaluates.  The metric pass is
-    ONE distributed sort + a streaming O(1)-memory scan (prefix sums);
-    nothing but the two scalars reaches the driver.
+    counter-hash-sampled non-edge negatives.  Negatives are BOUNDED per
+    vertex (O(n·s) candidates, O(batch·s) worker temporaries — the r4
+    quadratic repeat/tile sampler is gone): for each vertex u and counter
+    i < neg_per_vertex, draw v = (u·1000003 + i·40503 + seed) mod
+    (max_vid+1), keep draws that land on a real vertex (semi-join on the
+    vertex table), canonicalize u<v, de-dup, and remove true edges by a
+    distributed anti-join — the same closed form the SQL oracle
+    evaluates.  The metric pass is ONE distributed sort + a streaming
+    O(1)-memory scan (prefix sums); nothing but the two scalars reaches
+    the driver.
     -> Dataset(1 row: auc_roc, auc_pr, n_pos, n_neg)."""
     import ray
     import ray.data
@@ -92,25 +97,51 @@ def link_prediction_auc(
     )
     train = train.materialize()
 
-    # candidate negatives: hash-filtered non-edge pairs over the vertex set
-    # (the full vid array broadcasts once; pair generation is vectorized per
-    # vertex batch; true edges are removed by a distributed anti-join)
+    # candidate negatives: s counter-hash draws per vertex (one scalar
+    # aggregate fixes the modulus; draw generation is vectorized per
+    # vertex batch; draws landing off the vertex set are dropped by a
+    # semi-join, true edges by a distributed anti-join)
     verts = vertices_from_edges(canon).materialize()
-    all_vids = np.sort(verts.to_pandas()["vid"].to_numpy(np.int64))
-    vref = ray.put(all_vids)
+    nmod = int(verts.max("vid")) + 1
+    s = int(neg_per_vertex)
 
     def gen_pairs(t: pa.Table) -> pa.Table:
-        vids = ray.get(vref)
         a = t["vid"].combine_chunks().to_numpy(zero_copy_only=False)
-        A = np.repeat(a, len(vids))
-        B = np.tile(vids, len(a))
-        keep = (A < B) & (
-            (A * np.int64(7919) + B * np.int64(104729)) % neg_mod == 0
+        U = np.repeat(a, s)
+        i = np.tile(np.arange(s, dtype=np.int64), len(a))
+        V = (
+            U * np.int64(1000003) + i * np.int64(40503) + np.int64(seed)
+        ) % np.int64(nmod)
+        keep = U != V
+        U, V = U[keep], V[keep]
+        return pa.table(
+            {"src": np.minimum(U, V), "dst": np.maximum(U, V), "v_drawn": V}
         )
-        return pa.table({"src": A[keep], "dst": B[keep]})
 
-    neg_cand = verts.map_batches(
-        gen_pairs, batch_format="pyarrow", zero_copy_batch=True
+    neg_cand = (
+        verts.map_batches(gen_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .join(
+            verts.map_batches(
+                lambda t: pa.table({"v_drawn": t["vid"]}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("v_drawn",),
+        )
+        .map_batches(  # explicit projection after join (compat: see memory)
+            lambda t: pa.table({"src": t["src"], "dst": t["dst"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["src", "dst"])
+        .count()
+        .map_batches(
+            lambda t: pa.table({"src": t["src"], "dst": t["dst"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     )
     flagged = canon.map_batches(
         lambda t: pa.table(
@@ -265,7 +296,7 @@ def link_prediction_auc(
 def kfold_cross_validation(
     edges_ds,
     k: int = 5,
-    neg_mod: int = 17,
+    neg_per_vertex: int = 8,
     seed: int = 0,
     num_partitions: int = 8,
 ):
@@ -283,7 +314,7 @@ def kfold_cross_validation(
         one = link_prediction_auc(
             edges_ds,
             holdout_mod=k,
-            neg_mod=neg_mod,
+            neg_per_vertex=neg_per_vertex,
             seed=seed,
             num_partitions=num_partitions,
             fold=f,

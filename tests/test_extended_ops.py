@@ -414,19 +414,27 @@ def test_link_prediction_auc_exact(ray_session, name):
 
     G = fixture_graph(name)
     eds = _ds_edges(G)
-    res = link_prediction_auc(eds, holdout_mod=5, neg_mod=17, seed=0).to_pandas()
+    res = link_prediction_auc(
+        eds, holdout_mod=5, neg_per_vertex=8, seed=0
+    ).to_pandas()
 
     canon = canonicalize_undirected(eds, weight="one")
     train, test = random_link_sampler(canon, holdout_mod=5, seed=0)
     trd, ted = train.to_pandas(), test.to_pandas()
     allp = {(min(int(u), int(v)), max(int(u), int(v))) for u, v in G.edges()}
     vids = np.sort(np.array(sorted({v for p in allp for v in p}), np.int64))
-    negs = [
-        (int(a), int(b))
-        for a in vids
-        for b in vids
-        if a < b and (a * 7919 + b * 104729) % 17 == 0 and (a, b) not in allp
-    ]
+    vset = set(int(v) for v in vids)
+    nmod = int(vids.max()) + 1
+    negs = sorted(
+        {
+            (min(int(u), d), max(int(u), d))
+            for u in vids
+            for i in range(8)
+            for d in [(int(u) * 1000003 + i * 40503 + 0) % nmod]
+            if d != int(u) and d in vset
+        }
+        - allp
+    )
     adj = collections.defaultdict(set)
     for a, b in zip(trd["src"].astype(int), trd["dst"].astype(int)):
         adj[a].add(b)
