@@ -322,11 +322,20 @@ def top_closeness(
         .count()
         .to_pandas()
     )
-    degs = dict(zip(deg_tbl["src"].astype(np.int64), deg_tbl["count()"]))
+    # vectorized sorted-array merge (no per-vertex Python loop): vertices
+    # absent from the degree table (isolated) get degree 0
+    dsrc = deg_tbl["src"].to_numpy(np.int64)
+    dcnt = deg_tbl["count()"].to_numpy(np.int64)
+    dord = np.argsort(dsrc, kind="stable")
+    dsrc, dcnt = dsrc[dord], dcnt[dord]
     vids = np.sort(
         verts.to_pandas()["vid"].to_numpy(np.int64)
     )
-    dv = np.array([degs.get(int(v), 0) for v in vids], dtype=np.int64)
+    dv = np.zeros(len(vids), dtype=np.int64)
+    if len(dsrc):
+        pos = np.searchsorted(dsrc, vids)
+        hit = (pos < len(dsrc)) & (dsrc[np.minimum(pos, len(dsrc) - 1)] == vids)
+        dv[hit] = dcnt[pos[hit]]
     farness_lb = dv + 2 * (n - 1 - dv)
     with np.errstate(divide="ignore"):
         ub = np.where(farness_lb > 0, (n - 1) / farness_lb, np.inf)
