@@ -1433,13 +1433,48 @@ def q_betweenness_exact(sf_dir):
 
 
 def q_top_closeness(sf_dir):
-    """TopCloseness (k=10, degree-bound pruning) on the fixture graph;
-    the SQL oracle computes ALL exact closenesses from the walk-CTE
-    distance table and takes the same top-10 (ties -> smaller vid)."""
-    from networkit_ray.pipelines.traversal import top_closeness
+    """Carrier for the farness family on the fixture graph: TopCloseness
+    (k=10, degree-bound pruning; kind='topk', value=closeness) AND
+    GroupCloseness (k=3 CELF-pruned exact greedy; kind='group_closeness',
+    value=group farness after each pick).  The SQL oracle computes exact
+    closenesses from the walk-CTE distance table for the top-10 and
+    unrolls the identical 3-round greedy over LEAST()-folded distances."""
+    from networkit_ray.pipelines.traversal import group_closeness, top_closeness
 
-    out = top_closeness(_fixture_edges(), k=10, num_partitions=P, batch=64)
-    return _round6(out, "closeness")
+    top = top_closeness(
+        _fixture_edges(), k=10, num_partitions=P, batch=64
+    ).to_pandas()
+    grp = group_closeness(
+        _fixture_edges(), k=3, num_partitions=P, batch=64
+    ).to_pandas()
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "kind": pa.array(
+                ["topk"] * len(top) + ["group_closeness"] * len(grp)
+            ),
+            "rank": pa.array(
+                np.r_[
+                    np.arange(len(top), dtype=np.int64),
+                    grp["rank"].to_numpy(np.int64),
+                ]
+            ),
+            "vid": pa.array(
+                np.r_[
+                    top["vid"].to_numpy(np.int64),
+                    grp["vid"].to_numpy(np.int64),
+                ]
+            ),
+            "value": pa.array(
+                np.r_[
+                    np.floor(top["closeness"].to_numpy() * 1e6 + 0.5) / 1e6,
+                    grp["farness"].to_numpy(np.float64),
+                ]
+            ),
+        }
+    )
+    return ray.data.from_arrow(tbl)
 
 
 def q_hop_plot(sf_dir):
@@ -2920,10 +2955,35 @@ FROM bet b JOIN ecc e USING (vid)
 _TOP_CLOSENESS_SQL = (
     _fix_walks_cte(FIX_K)
     + """
-SELECT s AS vid,
-       FLOOR((COUNT(*) - 1) * 1.0 / SUM(d) * 1000000 + 0.5) / 1000000.0
-         AS closeness
-FROM fdist GROUP BY 1 ORDER BY closeness DESC, vid ASC LIMIT 10
+, clo AS (SELECT s, COUNT(*) AS r, SUM(d) AS f FROM fdist GROUP BY s),
+topk AS (
+  SELECT 'topk' AS kind,
+         ROW_NUMBER() OVER (ORDER BY (r - 1) * 1.0 / f DESC, s ASC) - 1
+           AS rank,
+         s AS vid,
+         FLOOR((r - 1) * 1.0 / f * 1000000 + 0.5) / 1000000.0 AS value
+  FROM clo ORDER BY (r - 1) * 1.0 / f DESC, s ASC LIMIT 10
+),
+-- 3-round greedy group closeness, unrolled: pick argmin of the folded
+-- farness SUM(LEAST(dist_to_S, d(u, v))), ties -> smaller vid
+g1 AS (SELECT s, CAST(SUM(d) AS DOUBLE) AS f FROM fdist GROUP BY s
+       ORDER BY f, s LIMIT 1),
+d1 AS (SELECT f.v, f.d FROM fdist f JOIN g1 ON f.s = g1.s),
+far2 AS (SELECT f.s, CAST(SUM(LEAST(d1.d, f.d)) AS DOUBLE) AS f
+         FROM fdist f JOIN d1 ON d1.v = f.v
+         WHERE f.s NOT IN (SELECT s FROM g1) GROUP BY f.s),
+g2 AS (SELECT s, f FROM far2 ORDER BY f, s LIMIT 1),
+d2 AS (SELECT d1.v, LEAST(d1.d, f.d) AS d
+       FROM d1 JOIN fdist f ON f.v = d1.v JOIN g2 ON f.s = g2.s),
+far3 AS (SELECT f.s, CAST(SUM(LEAST(d2.d, f.d)) AS DOUBLE) AS f
+         FROM fdist f JOIN d2 ON d2.v = f.v
+         WHERE f.s NOT IN (SELECT s FROM g1 UNION SELECT s FROM g2)
+         GROUP BY f.s),
+g3 AS (SELECT s, f FROM far3 ORDER BY f, s LIMIT 1)
+SELECT kind, rank, vid, value FROM topk
+UNION ALL SELECT 'group_closeness', 0, s, f FROM g1
+UNION ALL SELECT 'group_closeness', 1, s, f FROM g2
+UNION ALL SELECT 'group_closeness', 2, s, f FROM g3
 """
 )
 

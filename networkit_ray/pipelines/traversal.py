@@ -376,6 +376,47 @@ def top_closeness(
     )
 
 
+def group_closeness(
+    edges_ds,
+    k: int = 3,
+    vertices_ds=None,
+    num_partitions: int = 8,
+    undirected: bool = True,
+    batch: int = 64,
+):
+    """GroupCloseness (reference centrality/GroupCloseness; SURVEY.md
+    §2.3 `centrality/`): greedily build the k-vertex group minimizing
+    group farness sum_v min_{s in S} d(v, s) (equivalently maximizing
+    group closeness), ties -> smaller vid.  Composition of the
+    GroupDegree greedy skeleton with the batched multi-source farness
+    kernel (state/csr.py): per round, candidate farness is evaluated
+    exactly in batched BFS waves against per-partition dist-to-S state;
+    rounds >= 3 prune with CELF lazy re-evaluation (submodular gains),
+    which preserves exact tie semantics.  Connected-graph contract (inf
+    farness otherwise, still exact).
+    -> Dataset(rank, vid, farness): the member picked at each greedy
+    rank and the group farness after that pick."""
+    import ray.data
+
+    if vertices_ds is None:
+        vertices_ds = vertices_from_edges(edges_ds)
+    verts = vertices_ds.select_columns(["vid"]).materialize()
+    g = _graph(edges_ds, verts, num_partitions, undirected)
+    try:
+        picks = g.group_closeness_greedy(k, batch=batch)
+    finally:
+        g.shutdown()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "rank": np.arange(len(picks), dtype=np.int64),
+                "vid": np.array([p[0] for p in picks], dtype=np.int64),
+                "farness": np.array([p[1] for p in picks], dtype=np.float64),
+            }
+        )
+    )
+
+
 def hop_plot(
     edges_ds,
     vertices_ds=None,

@@ -819,6 +819,30 @@ class CSRPartition:
             reach.sum(axis=0).astype(np.int64),
         )
 
+    # ---- group-closeness greedy state --------------------------------------
+    def gc_init(self) -> None:
+        """dist-to-group over owned rows; inf = unreached (S empty)."""
+        self.gc_dist = np.full(self.n_owned, np.inf, dtype=np.float64)
+
+    def gc_farness_part(self):
+        """Per-source-column sum over owned rows of min(dist_to_S, depth):
+        the partition's share of farness(S ∪ {source}).  Unreached-by-
+        source keeps dist_to_S; unreached-by-both stays inf (connected-
+        graph contract, same as top_closeness's level-1 bound)."""
+        if self.n_owned == 0:
+            return np.zeros(self.ms_depth.shape[1], dtype=np.float64)
+        D = self.ms_depth.astype(np.float64)
+        D[D < 0] = np.inf
+        return np.minimum(self.gc_dist[:, None], D).sum(axis=0)
+
+    def gc_update(self, col: int) -> None:
+        """Fold BFS column ``col`` of the current wave into dist-to-S."""
+        if self.n_owned == 0:
+            return
+        d = self.ms_depth[:, col].astype(np.float64)
+        d[d < 0] = np.inf
+        self.gc_dist = np.minimum(self.gc_dist, d)
+
     def ms_depth_table(self, src_vids) -> pa.Table:
         """Finite (source, vid, depth) triplets of the current wave over
         owned rows — the distance-table emit (returned tables are copied
@@ -1599,6 +1623,75 @@ class BSPGraph:
         reach = np.sum([p[1] for p in parts], axis=0)
         inv = np.sum([p[2] for p in parts], axis=0)
         return sumd, reach, inv
+
+    def group_closeness_greedy(self, k: int, batch: int = 64, stats=None):
+        """Greedy group closeness (reference centrality/GroupCloseness):
+        round r picks the candidate u minimizing the resulting group
+        farness sum_v min(d(v, S), d(v, u)) — evaluated EXACTLY via
+        batched multi-source BFS waves against per-partition dist-to-S
+        state — then one single-source wave folds the winner in.  Ties ->
+        smaller vid.  Rounds >= 3 run CELF-style lazy re-evaluation:
+        gains F(S) - F(S ∪ {u}) are submodular-decreasing, so a stale
+        gain upper-bounds the current one and candidates are re-evaluated
+        in stale-gain order only until the confirmed best STRICTLY beats
+        the next bound (strict: equal bounds are still evaluated, so tie
+        resolution is identical to the exhaustive greedy).  Connected-
+        graph contract: infinite farness ranks last but stays exact.
+        -> list of (vid, farness_after_pick)."""
+        vids = self.all_vids()
+        if len(vids) == 0:
+            return []
+        ray.get([a.gc_init.remote() for a in self.actors])
+        k = min(int(k), len(vids))
+        chosen: list[int] = []
+        out: list[tuple[int, float]] = []
+        delta = None  # stale gain upper bounds, aligned to sorted vids
+        F = np.inf
+        t0 = time.perf_counter()
+        for _r in range(k):
+            in_s = np.isin(vids, np.array(chosen, dtype=np.int64))
+            cand = vids[~in_s]
+            if delta is None or not np.isfinite(F):
+                cand_o = cand
+                bounds = np.full(len(cand), np.inf)
+            else:
+                d_c = delta[~in_s]
+                order = np.lexsort((cand, -d_c))
+                cand_o, bounds = cand[order], d_c[order]
+            best = None  # (farness, vid)
+            best_gain = -np.inf
+            i = 0
+            while i < len(cand_o):
+                if best is not None and best_gain > bounds[i]:
+                    break  # CELF prune: bound < confirmed best gain
+                wave = cand_o[i : i + batch]
+                self.ms_forward(wave, with_sigma=False)
+                parts = ray.get(
+                    [a.gc_farness_part.remote() for a in self.actors]
+                )
+                tot = np.sum(parts, axis=0)
+                if np.isfinite(F) and delta is not None:
+                    delta[np.searchsorted(vids, wave)] = F - tot
+                for v, f in zip(wave, tot):
+                    pair = (float(f), int(v))
+                    if best is None or pair < best:
+                        best = pair
+                        best_gain = (
+                            F - pair[0] if np.isfinite(F) else np.inf
+                        )
+                i += batch
+            if delta is None:
+                delta = np.full(len(vids), np.inf, dtype=np.float64)
+            chosen.append(best[1])
+            out.append((best[1], best[0]))
+            F = best[0]
+            self.ms_forward(np.array([best[1]], np.int64), with_sigma=False)
+            ray.get([a.gc_update.remote(0) for a in self.actors])
+        if stats is not None:
+            stats.setdefault("iter_wall_s", []).append(
+                time.perf_counter() - t0
+            )
+        return out
 
     def distance_table(self, sources, batch: int = 64):
         """Exact BFS distance table for the given sources -> Dataset

@@ -177,3 +177,58 @@ def test_all_pairs_subset_and_spsp(ray_session):
     a = next(iter(comps[0])); b = next(iter(comps[1]))
     miss = single_pair_distance(ed2, int(a), int(b), num_partitions=2).to_pandas()
     assert int(miss["depth"].iloc[0]) == -1
+
+
+def _greedy_group_closeness(G, k):
+    """Pure-Python exhaustive greedy: min resulting group farness
+    sum_v min(d(v, S)), ties -> smaller vid (the engine's contract)."""
+    nodes = sorted(int(v) for v in G.nodes)
+    dist = {
+        v: nx.single_source_shortest_path_length(G, v) for v in nodes
+    }
+    INF = float("inf")
+    d_s = {v: INF for v in nodes}
+    picks = []
+    for _ in range(k):
+        best = None
+        for u in nodes:
+            if any(u == p[0] for p in picks):
+                continue
+            f = sum(
+                min(d_s[v], dist[u].get(v, INF)) for v in nodes
+            )
+            pair = (f, u)
+            if best is None or pair < best:
+                best = pair
+        picks.append((best[1], best[0]))
+        for v in nodes:
+            d_s[v] = min(d_s[v], dist[best[1]].get(v, INF))
+    return picks
+
+
+@pytest.mark.parametrize("name,k", [("karate", 4), ("ba300", 5), ("er200", 6)])
+def test_group_closeness_brute_greedy(ray_session, name, k):
+    """CELF-pruned distributed greedy replicates the exhaustive greedy
+    exactly (members, order, per-pick farness)."""
+    from networkit_ray.pipelines.traversal import group_closeness
+
+    G = fixture_graph(name)
+    eds = ray.data.from_arrow(nx_to_edges_table(G))
+    got = group_closeness(eds, k=k, num_partitions=3, batch=13).to_pandas()
+    want = _greedy_group_closeness(G, k)
+    assert list(got["vid"].astype(int)) == [p[0] for p in want]
+    np.testing.assert_allclose(
+        got["farness"].to_numpy(), [p[1] for p in want], atol=1e-9, rtol=0
+    )
+    assert list(got["rank"]) == list(range(k))
+
+
+def test_group_closeness_batch_invariance(ray_session):
+    from networkit_ray.pipelines.traversal import group_closeness
+
+    G = fixture_graph("karate")
+    eds = ray.data.from_arrow(nx_to_edges_table(G))
+    a = group_closeness(eds, k=5, num_partitions=2, batch=4).to_pandas()
+    b = group_closeness(eds, k=5, num_partitions=4, batch=64).to_pandas()
+    assert list(a["vid"]) == list(b["vid"])
+    np.testing.assert_allclose(a["farness"], b["farness"], atol=0, rtol=0)
