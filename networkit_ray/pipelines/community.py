@@ -524,46 +524,15 @@ def _move_round(
 
 def _contract(canon, labels, num_partitions):
     """Coarsen: vertices = communities; intra-community weight becomes
-    self-loop weight (canonical (min,max) community pair, summed)."""
-    j1 = _proj(
-        canon.join(
-            labels,
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("src",),
-            right_on=("vid",),
-        ),
-        {"csrc": "comm", "dst": "dst", "w": "w"},
-    )
-    j2 = _proj(
-        j1.join(
-            labels,
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("dst",),
-            right_on=("vid",),
-        ),
-        {"csrc": "csrc", "cdst": "comm", "w": "w"},
-    )
+    self-loop weight (canonical (min,max) community pair, summed).
+    Thin wrapper over the PUBLIC coarsening operator (coarsening.py) —
+    `labels` here carries (vid, comm)."""
+    from networkit_ray.pipelines.coarsening import contract_by_labels
 
-    def canon_pairs(t: pa.Table) -> pa.Table:
-        a = t["csrc"].combine_chunks().to_numpy(zero_copy_only=False)
-        b = t["cdst"].combine_chunks().to_numpy(zero_copy_only=False)
-        out = pa.table(
-            {
-                "src": np.minimum(a, b),
-                "dst": np.maximum(a, b),
-                "w": t["w"],
-            }
-        )
-        return out.group_by(["src", "dst"]).aggregate([("w", "sum")]).rename_columns(
-            ["src", "dst", "w"]
-        )
-
-    return (
-        j2.map_batches(canon_pairs, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["src", "dst"], num_partitions=num_partitions)
-        .aggregate(Sum("w", alias_name="w"))
+    return contract_by_labels(
+        canon,
+        _proj(labels, {"vid": "vid", "label": "comm"}),
+        num_partitions=num_partitions,
     )
 
 

@@ -597,3 +597,176 @@ def clique_detect(edges_ds, seed_vid: int, num_partitions: int = 8):
     return ray.data.from_arrow(
         pa.table({"vid": np.array(members, dtype=np.int64)})
     )
+
+
+def tce(
+    edges_ds,
+    seed_vid: int,
+    max_size: int = 100,
+    num_partitions: int = 8,
+):
+    """TCE — Triangle-based Community Expansion (reference scd/TCE;
+    Hamann, Röhrs, Wagner 2017 "Local Community Detection Based on Small
+    Cliques").  /root/reference is empty (SURVEY.md §0), so the scoring
+    is a documented reconstruction pinned exactly by the pure-Python
+    oracle in tests/test_scd.py: grow C from the seed by admitting the
+    boundary candidate maximizing
+
+        score(v | C) = (links(v, C) + 2 * tri(v, C)) / deg(v)
+
+    where links = edges from v into C and tri = triangles whose other
+    two vertices are BOTH already in C (the triadic-closure signal).
+    After the bootstrap round (|C| = 1, where no triangle can exist)
+    only candidates closing >= 1 triangle qualify; ties -> smaller vid;
+    stop when no candidate qualifies or |C| = max_size.
+
+    Distributed shape (the GCE broadcast-scan + the wedge-join triangle
+    machinery): C broadcasts per round; ONE edge scan yields the
+    candidate->C adjacency rows; links is a groupby count; tri is a
+    boundary-sized SELF-JOIN of that adjacency on the candidate, pair-
+    filtered against the (<= |C|^2, driver-held) intra-C edge set; deg
+    comes from the cached semi-join fetch.  Only boundary-sized tables
+    reach the driver.  -> Dataset(vid) of the community."""
+    import ray
+    import ray.data
+
+    canon = canonicalize_undirected(edges_ds, weight="one").materialize()
+    sym = symmetrize(canon).select_columns(["src", "dst"]).materialize()
+    deg_cache: dict[int, int] = {}
+
+    def deg_of(v: np.ndarray) -> np.ndarray:
+        unknown = np.array(
+            [int(x) for x in v if int(x) not in deg_cache], dtype=np.int64
+        )
+        if len(unknown):
+            deg_cache.update(_deg_fetch(sym, unknown, num_partitions))
+        return np.fromiter(
+            (deg_cache.get(int(x), 0) for x in v), np.int64, len(v)
+        )
+
+    BIG = np.int64(1) << np.int64(32)
+    C = {int(seed_vid)}
+    while len(C) < max_size:
+        cs = np.array(sorted(C), dtype=np.int64)
+        cref = ray.put(cs)
+
+        def cand_rows(t: pa.Table) -> pa.Table:
+            cc = ray.get(cref)
+            s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            d = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+            i1 = np.minimum(np.searchsorted(cc, d), len(cc) - 1)
+            d_in = cc[i1] == d
+            i2 = np.minimum(np.searchsorted(cc, s), len(cc) - 1)
+            s_out = cc[i2] != s
+            m = d_in & s_out
+            return pa.table({"vid": s[m], "a": d[m]})
+
+        cand_adj = sym.map_batches(
+            cand_rows, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        links_df = (
+            cand_adj.groupby("vid", num_partitions=num_partitions)
+            .count()
+            .to_pandas()
+        )
+        if "vid" not in links_df.columns or len(links_df) == 0:
+            break
+
+        # intra-C edge set (canonical pairs, <= |C|^2 — driver-held)
+        def ec_rows(t: pa.Table) -> pa.Table:
+            cc = ray.get(cref)
+            s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            d = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+            i1 = np.minimum(np.searchsorted(cc, s), len(cc) - 1)
+            i2 = np.minimum(np.searchsorted(cc, d), len(cc) - 1)
+            m = (cc[i1] == s) & (cc[i2] == d)
+            return pa.table({"src": s[m], "dst": d[m]})
+
+        ec = canon.map_batches(
+            ec_rows, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        if len(ec):
+            ec_keys = np.sort(
+                np.minimum(ec["src"].to_numpy(np.int64), ec["dst"].to_numpy(np.int64))
+                * BIG
+                + np.maximum(ec["src"].to_numpy(np.int64), ec["dst"].to_numpy(np.int64))
+            )
+        else:
+            ec_keys = np.empty(0, dtype=np.int64)
+        eref = ray.put(ec_keys)
+
+        tri_df = None
+        if len(ec_keys):
+            other = _proj(
+                cand_adj,
+                lambda t: pa.table({"vid": t["vid"], "b": t["a"]}),
+            ).materialize()
+            pairs = _proj(
+                cand_adj.join(
+                    other,
+                    join_type="inner",
+                    num_partitions=num_partitions,
+                    on=("vid",),
+                ),
+                lambda t: pa.table(
+                    {"vid": t["vid"], "a": t["a"], "b": t["b"]}
+                ),
+            )
+
+            def tri_count(t: pa.Table) -> pa.Table:
+                ek = ray.get(eref)
+                v = t["vid"].combine_chunks().to_numpy(zero_copy_only=False)
+                a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+                b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+                m = a < b
+                v, a, b = v[m], a[m], b[m]
+                key = a * BIG + b
+                if len(ek):
+                    i = np.minimum(np.searchsorted(ek, key), len(ek) - 1)
+                    hit = ek[i] == key
+                else:
+                    hit = np.zeros(len(key), dtype=bool)
+                out = pa.table(
+                    {
+                        "vid": v[hit],
+                        "t": pa.array(np.ones(int(hit.sum()), np.int64)),
+                    }
+                )
+                return (
+                    out.group_by("vid").aggregate([("t", "sum")])
+                    .rename_columns(["vid", "t"])
+                )
+
+            tri_df = (
+                pairs.map_batches(
+                    tri_count, batch_format="pyarrow", zero_copy_batch=True
+                )
+                .groupby("vid", num_partitions=num_partitions)
+                .aggregate(Sum("t", alias_name="t"))
+                .to_pandas()
+            )
+
+        v = links_df["vid"].to_numpy(np.int64)
+        links = links_df["count()"].to_numpy(np.int64)
+        t_v = np.zeros(len(v), dtype=np.int64)
+        if tri_df is not None and "vid" in tri_df.columns and len(tri_df):
+            tv = tri_df["vid"].to_numpy(np.int64)
+            tt = tri_df["t"].to_numpy(np.int64)
+            to = np.argsort(tv, kind="stable")
+            tv, tt = tv[to], tt[to]
+            pos = np.minimum(np.searchsorted(tv, v), len(tv) - 1)
+            hit = tv[pos] == v
+            t_v[hit] = tt[pos[hit]]
+        if len(C) > 1:
+            qual = t_v >= 1
+            if not qual.any():
+                break
+            v, links, t_v = v[qual], links[qual], t_v[qual]
+        dv = deg_of(v).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            score = np.where(dv > 0, (links + 2.0 * t_v) / dv, 0.0)
+        order = np.lexsort((v, -score))
+        C.add(int(v[order[0]]))
+    return ray.data.from_arrow(
+        pa.table({"vid": np.array(sorted(C), dtype=np.int64)})
+    )

@@ -236,3 +236,63 @@ def test_clique_detect_isolated_seed(ray_session):
     G.add_node(99)
     got = clique_detect(edges_dataset(G), seed_vid=99).to_pandas()
     assert list(got["vid"]) == [99]
+
+
+def _tce_brute(G, seed, max_size=100):
+    """Pure-Python oracle of the engine's documented TCE scoring:
+    score(v|C) = (links(v,C) + 2*tri(v,C)) / deg(v); after the
+    bootstrap round only triangle-closing candidates qualify; ties ->
+    smaller vid."""
+    adj = {int(v): {int(u) for u in G.neighbors(v)} for v in G.nodes}
+    C = {int(seed)}
+    while len(C) < max_size:
+        scored = []
+        for v in sorted(adj):
+            if v in C:
+                continue
+            nc = adj[v] & C
+            if not nc:
+                continue
+            links = len(nc)
+            tri = sum(
+                1
+                for a in nc
+                for b in nc
+                if a < b and b in adj[a]
+            )
+            if len(C) > 1 and tri < 1:
+                continue
+            deg = len(adj[v])
+            scored.append((-(links + 2.0 * tri) / deg, v))
+        if not scored:
+            break
+        C.add(min(scored)[1])
+    return sorted(C)
+
+
+@pytest.mark.parametrize("seed", [0, 33, 5])
+def test_tce_brute_replication(ray_session, seed):
+    from networkit_ray.pipelines.scd import tce
+
+    G = fixture_graph("karate")
+    got = sorted(
+        tce(edges_dataset(G), seed_vid=seed, max_size=12, num_partitions=3)
+        .to_pandas()["vid"].astype(int)
+    )
+    assert got == _tce_brute(G, seed, max_size=12)
+
+
+def test_tce_triangle_requirement_stops(ray_session):
+    """On a triangle-free graph TCE admits exactly one bootstrap vertex
+    and stops (no candidate can close a triangle)."""
+    import networkx as nx
+
+    from networkit_ray.pipelines.scd import tce
+
+    G = nx.path_graph(8)
+    got = sorted(
+        tce(edges_dataset(G), seed_vid=3, max_size=8, num_partitions=2)
+        .to_pandas()["vid"].astype(int)
+    )
+    assert got == _tce_brute(G, 3, max_size=8)
+    assert len(got) == 2
