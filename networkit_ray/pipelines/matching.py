@@ -182,3 +182,200 @@ def local_max_matching(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def b_matching(
+    edges_ds,
+    b: int = 2,
+    num_partitions: int = 8,
+    max_rounds: int = 64,
+    broadcast_limit: int = 4_000_000,
+):
+    """b-matching — every vertex matched to at most ``b`` edges
+    (reference matching/BMatcher; Khan et al. b-Suitor, the parallel
+    locally-dominant generalization of Preis/Hoepman).  Synchronous
+    nomination rounds on the local_max_matching skeleton:
+
+      1. every UNSATURATED vertex nominates its top-(b - matched(v))
+         remaining incident edges by the (w desc, lo asc, hi asc) total
+         order (pre-combined per batch: at most b rows per vertex leave
+         a batch);
+      2. an edge joins the b-matching iff BOTH endpoints nominated it
+         (the heaviest remaining edge is always bilaterally nominated
+         -> every round matches a non-empty locally-dominant set ->
+         termination);
+      3. matched edges leave the pool, saturated vertices drop all their
+         remaining edges; repeat.
+
+    The greedy is the standard 1/2-approximation for maximum-weight
+    b-matching; with b=1 it degenerates to local_max_matching exactly
+    (a pytest pins both).  Per-vertex matched counts are held sparsely
+    (only matched vertices) and broadcast per round below
+    ``broadcast_limit``, mirroring the local_max drop path.
+    -> Dataset(src, dst, w)."""
+    import ray as _ray
+    import ray.data
+
+    canon = canonicalize_undirected(edges_ds, weight="max")
+    cur = canon.materialize()
+    used: dict[int, int] = {}  # matched-count per vertex (sparse)
+    matched_parts = []
+    for _ in range(max_rounds):
+        if cur.count() == 0:
+            break
+        uv = np.array(sorted(used), dtype=np.int64)
+        uc = np.array([used[int(x)] for x in uv], dtype=np.int64)
+        uref = _ray.put((uv, uc))
+
+        def nominate_topb(t: pa.Table, _uref=uref) -> pa.Table:
+            """Both-endpoint nomination rows, pre-combined to the top-b
+            rows per vertex in this batch (a per-vertex superset of the
+            global top-remaining-capacity set)."""
+            base = {"lo": t["src"], "hi": t["dst"], "w": t["w"]}
+            rows = pa.concat_tables(
+                [
+                    pa.table({"vid": t["src"], **base}),
+                    pa.table({"vid": t["dst"], **base}),
+                ]
+            )
+            if rows.num_rows == 0:
+                return rows
+            v = rows["vid"].combine_chunks().to_numpy(zero_copy_only=False)
+            w = rows["w"].combine_chunks().to_numpy(zero_copy_only=False)
+            lo = rows["lo"].combine_chunks().to_numpy(zero_copy_only=False)
+            hi = rows["hi"].combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.lexsort((hi, lo, -w, v))
+            sv = v[order]
+            newv = np.r_[True, sv[1:] != sv[:-1]]
+            # rank within vertex run = position - start of run
+            starts = np.maximum.accumulate(np.where(newv, np.arange(len(sv)), 0))
+            rank = np.arange(len(sv)) - starts
+            return rows.take(pa.array(order[rank < b]))
+
+        def topcap_group(df: pd.DataFrame, _uref=uref) -> pd.DataFrame:
+            uvv, ucc = _ray.get(_uref)
+            vid = int(df["vid"].iloc[0])
+            i = np.searchsorted(uvv, vid)
+            got = int(ucc[i]) if i < len(uvv) and uvv[i] == vid else 0
+            cap = b - got
+            if cap <= 0:
+                return df.head(0)
+            return df.sort_values(
+                ["w", "lo", "hi"], ascending=[False, True, True]
+            ).head(cap)
+
+        best = (
+            cur.map_batches(
+                nominate_topb, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("vid", num_partitions=num_partitions)
+            .map_groups(topcap_group, batch_format="pandas")
+        )
+        from ray.data.aggregate import Count, Min
+
+        mrows = (
+            best.groupby(["lo", "hi"], num_partitions=num_partitions)
+            .aggregate(Count(alias_name="nvotes"), Min("w", alias_name="w"))
+            .map_batches(
+                lambda t: pa.table(
+                    {"lo": t["lo"], "hi": t["hi"], "w": t["w"]}
+                ).filter(pc.equal(t["nvotes"], pa.scalar(2))),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .materialize()
+        )
+        n_matched = mrows.count()
+        if n_matched == 0:
+            break
+        matched_parts.append(mrows)
+        mdf = mrows.to_pandas()
+        for a_, b_ in zip(mdf["lo"].astype(int), mdf["hi"].astype(int)):
+            used[a_] = used.get(a_, 0) + 1
+            used[b_] = used.get(b_, 0) + 1
+        sat = np.array(
+            sorted(v for v, c in used.items() if c >= b), dtype=np.int64
+        )
+        mkeys = np.sort(
+            mdf["lo"].to_numpy(np.int64) * (np.int64(1) << np.int64(32))
+            + mdf["hi"].to_numpy(np.int64)
+        )
+        if 2 * n_matched + len(sat) <= broadcast_limit:
+            dref = _ray.put((sat, mkeys))
+
+            def drop(t: pa.Table, _dref=dref) -> pa.Table:
+                sv, mk = _ray.get(_dref)
+                s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+                d = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+                kill = np.zeros(len(s), dtype=bool)
+                if len(sv):
+                    i1 = np.minimum(np.searchsorted(sv, s), len(sv) - 1)
+                    i2 = np.minimum(np.searchsorted(sv, d), len(sv) - 1)
+                    kill |= (sv[i1] == s) | (sv[i2] == d)
+                if len(mk):
+                    key = s * (np.int64(1) << np.int64(32)) + d
+                    i3 = np.minimum(np.searchsorted(mk, key), len(mk) - 1)
+                    kill |= mk[i3] == key
+                return t.filter(pa.array(~kill))
+
+            cur = cur.map_batches(
+                drop, batch_format="pyarrow", zero_copy_batch=True
+            ).materialize()
+        else:
+            # hash fallback for huge rounds: anti-join matched pairs, then
+            # anti-join each endpoint against the saturated vertex set
+            flag = mrows.map_batches(
+                lambda t: pa.table(
+                    {"src": t["lo"], "dst": t["hi"],
+                     "hit": pa.array(np.ones(t.num_rows, np.int8))}
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).materialize()
+            j = cur.join(
+                flag, join_type="left_outer", num_partitions=num_partitions,
+                on=("src", "dst"),
+            ).map_batches(
+                lambda t: pa.table(
+                    {"src": t["src"], "dst": t["dst"], "w": t["w"]}
+                ).filter(pc.is_null(t["hit"])),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            satds = ray.data.from_arrow(
+                pa.table(
+                    {"mv": sat, "hit": np.ones(len(sat), np.int8)}
+                )
+            ).materialize()
+            for col in ("src", "dst"):
+                j = j.join(
+                    satds, join_type="left_outer",
+                    num_partitions=num_partitions,
+                    on=(col,), right_on=("mv",),
+                ).map_batches(
+                    lambda t: pa.table(
+                        {"src": t["src"], "dst": t["dst"], "w": t["w"]}
+                    ).filter(pc.is_null(t["hit"])),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+            cur = j.materialize()
+
+    if not matched_parts:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.float64()),
+                }
+            )
+        )
+    out = matched_parts[0]
+    for p in matched_parts[1:]:
+        out = out.union(p)
+    return out.map_batches(
+        lambda t: pa.table({"src": t["lo"], "dst": t["hi"], "w": t["w"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

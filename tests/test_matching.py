@@ -61,3 +61,110 @@ def test_matching_unit_weights_is_maximal_matching(ray_session):
         weighted_ds(G, np.ones(G.number_of_edges())), num_partitions=2
     ).to_pandas()
     assert len(m) == 1  # star: one edge saturates the hub
+
+
+def _b_matching_brute(G, wts, b):
+    """Pure-Python replication of the synchronous b-Suitor rounds the
+    engine runs: top-remaining-capacity bilateral nominations by
+    (w desc, lo asc, hi asc)."""
+    edges = {}
+    for i, (u, v) in enumerate(G.edges()):
+        lo, hi = min(int(u), int(v)), max(int(u), int(v))
+        edges[(lo, hi)] = max(edges.get((lo, hi), 0.0), float(wts[i]))
+    pool = dict(edges)
+    used = {}
+    matched = []
+    while pool:
+        nom = {}
+        for (lo, hi), w in pool.items():
+            for v in (lo, hi):
+                nom.setdefault(v, []).append((-w, lo, hi))
+        votes = {}
+        for v, lst in nom.items():
+            cap = b - used.get(v, 0)
+            for e in sorted(lst)[:cap]:
+                votes[(e[1], e[2])] = votes.get((e[1], e[2]), 0) + 1
+        new = [e for e, c in votes.items() if c == 2]
+        if not new:
+            break
+        for lo, hi in new:
+            matched.append((lo, hi, pool.pop((lo, hi))))
+            used[lo] = used.get(lo, 0) + 1
+            used[hi] = used.get(hi, 0) + 1
+        sat = {v for v, c in used.items() if c >= b}
+        pool = {
+            (lo, hi): w
+            for (lo, hi), w in pool.items()
+            if lo not in sat and hi not in sat
+        }
+    return sorted(matched)
+
+
+@pytest.mark.parametrize("name,b", [("karate", 2), ("ba300", 3), ("er200", 2)])
+def test_b_matching_brute_replication(ray_session, name, b):
+    """Distributed rounds replicate the pure-Python synchronous b-Suitor
+    exactly; no vertex exceeds b matches (violations pinned 0)."""
+    from networkit_ray.pipelines.matching import b_matching
+
+    G = fixture_graph(name)
+    rng = np.random.default_rng(11)
+    wts = rng.random(G.number_of_edges()) + 0.5
+    m = b_matching(weighted_ds(G, wts), b=b, num_partitions=3).to_pandas()
+    got = sorted(zip(m["src"].astype(int), m["dst"].astype(int), m["w"]))
+    want = _b_matching_brute(G, wts, b)
+    assert [(s, d) for s, d, _ in got] == [(s, d) for s, d, _ in want]
+    np.testing.assert_allclose(
+        [w for _, _, w in got], [w for _, _, w in want], rtol=0, atol=1e-12
+    )
+    import collections
+
+    cnt = collections.Counter(
+        list(m["src"].astype(int)) + list(m["dst"].astype(int))
+    )
+    assert all(c <= b for c in cnt.values())  # 0 capacity violations
+
+
+@pytest.mark.parametrize("b", [1, 2])
+def test_b_matching_half_approx_vs_enumerated_opt(ray_session, b):
+    """On a small graph, weight(b-matching) >= 1/2 * enumerated optimal
+    b-matching weight (the greedy's guarantee)."""
+    import itertools
+
+    from networkit_ray.pipelines.matching import b_matching
+
+    G = nx.cycle_graph(7)
+    G.add_edge(0, 3)
+    G.add_edge(1, 5)
+    rng = np.random.default_rng(3)
+    wts = rng.random(G.number_of_edges()) + 0.5
+    m = b_matching(weighted_ds(G, wts), b=b, num_partitions=2).to_pandas()
+    elist = [
+        (min(int(u), int(v)), max(int(u), int(v)), float(w))
+        for (u, v), w in zip(G.edges(), wts)
+    ]
+    opt = 0.0
+    for r in range(len(elist) + 1):
+        for sub in itertools.combinations(elist, r):
+            deg = {}
+            ok = True
+            for lo, hi, _ in sub:
+                deg[lo] = deg.get(lo, 0) + 1
+                deg[hi] = deg.get(hi, 0) + 1
+                if deg[lo] > b or deg[hi] > b:
+                    ok = False
+                    break
+            if ok:
+                opt = max(opt, sum(w for _, _, w in sub))
+    assert m["w"].sum() >= 0.5 * opt - 1e-9
+
+
+def test_b_matching_b1_equals_local_max(ray_session):
+    from networkit_ray.pipelines.matching import b_matching
+
+    G = fixture_graph("karate")
+    rng = np.random.default_rng(7)
+    wts = rng.random(G.number_of_edges()) + 0.5
+    a = b_matching(weighted_ds(G, wts), b=1, num_partitions=3).to_pandas()
+    c = local_max_matching(weighted_ds(G, wts), num_partitions=3).to_pandas()
+    key = lambda df: sorted(zip(df["src"], df["dst"]))  # noqa: E731
+    assert key(a) == key(c)
