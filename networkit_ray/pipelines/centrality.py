@@ -817,29 +817,23 @@ def group_degree(edges_ds, k: int = 5, num_partitions: int = 8):
         chosen.append(v_star)
         gains.append(gain)
         s_set.add(v_star)
-        # recompute covered = S ∪ N(S)
-        sel = np.array(sorted(s_set), dtype=np.int64)
-        sref = ray.put(sel)
-
-        def nbrs_of_s(t: pa.Table) -> pa.Table:
-            ss = ray.get(sref)
+        # incremental covered update: N(S ∪ {v*}) = N(S) ∪ N(v*), so only
+        # v*'s neighbors are fetched (degree-sized pull, not vertex-sized)
+        def nbrs_of_v(t: pa.Table, v=v_star) -> pa.Table:
             s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
             d = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(ss, s)
-            idx = np.minimum(idx, len(ss) - 1)
-            m = ss[idx] == s
-            return pa.table({"vid": np.unique(d[m])})
+            return pa.table({"vid": np.unique(d[s == v])})
 
         nb = (
             sym.map_batches(
-                nbrs_of_s, batch_format="pyarrow", zero_copy_batch=True
+                nbrs_of_v, batch_format="pyarrow", zero_copy_batch=True
             )
             .groupby("vid", num_partitions=num_partitions)
             .count()
             .to_pandas()["vid"]
             .to_numpy(np.int64)
         )
-        covered = np.union1d(nb, sel)
+        covered = np.union1d(covered, np.append(nb, v_star))
     gd = int(len(np.setdiff1d(covered, np.array(sorted(s_set), np.int64))))
     out = ray.data.from_arrow(
         pa.table(

@@ -499,6 +499,198 @@ def all_pairs_distances(
     return out
 
 
+def pruned_landmark_labels(
+    edges_ds,
+    vertices_ds=None,
+    num_partitions: int = 8,
+):
+    """Pruned Landmark Labeling 2-hop cover (reference distance/
+    PrunedLandmarkLabeling; Akiba, Iwata, Yoshida SIGMOD'13) for exact
+    hop-distance queries on an undirected unweighted graph.
+
+    Build: vertices in canonical rank order (degree desc, vid asc), one
+    pruned BFS each on the BSP CSR pool — the witness probe that makes the
+    labeling sub-quadratic in practice is a vectorized searchsorted scan
+    of each partition's local label store, so the driver only ever ships
+    a landmark's own (tiny) label list per BFS.  Inherently sequential in
+    rank (each BFS prunes against all earlier labels): at cluster scale
+    this is the standard query-index build you amortize over repeated
+    point-to-point queries, not a bulk analytic.
+
+    -> (Dataset(vid, hub, dist), total_label_entries).  Exact:
+    dist(s,t) = min over common hubs of dist(s,w)+dist(w,t) for ALL pairs
+    (absence of a common hub == unreachable)."""
+    if vertices_ds is None:
+        vertices_ds = vertices_from_edges(edges_ds)
+    verts = vertices_ds.select_columns(["vid"]).materialize()
+    sym = symmetrize(
+        canonicalize_undirected(edges_ds, weight="one")
+    ).materialize()
+    # canonical rank: degree descending, tie vid ascending
+    deg = (
+        sym.groupby("src")
+        .count()
+        .to_pandas()
+        .rename(columns={"src": "vid", "count()": "deg"})
+    )
+    allv = verts.to_pandas().merge(deg, on="vid", how="left").fillna({"deg": 0})
+    allv = allv.sort_values(["deg", "vid"], ascending=[False, True])
+    order = allv["vid"].to_numpy(np.int64)
+    g = _graph(sym, verts, num_partitions, undirected=False)
+    try:
+        labels, total = g.pll_build(order)
+    finally:
+        g.shutdown()
+    return labels, total
+
+
+def pll_distances(labels_ds, pairs, concurrency: int | None = None):
+    """Serve exact hop-distance queries from a PLL label index:
+    ``pairs`` is a Dataset(source, target) (or a list of (s, t) tuples).
+    The label index is the deliberately-small compressed artifact PLL
+    exists to produce — it broadcasts once (ray.put) and every query batch
+    resolves locally via sorted-merge hub intersection; at larger index
+    sizes the swap is a two-sided hub join (labels ⋈ pairs on source,
+    ⋈ on target, groupby-min), which the pytest oracle mirrors.
+    Unreachable pairs -> dist = -1.  -> Dataset(source, target, dist)."""
+    import ray
+    import ray.data
+
+    lab = labels_ds.to_pandas()
+    by_vid: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for vid, grp in lab.groupby("vid"):
+        h = grp["hub"].to_numpy(np.int64)
+        d = grp["dist"].to_numpy(np.int64)
+        o = np.argsort(h)
+        by_vid[int(vid)] = (h[o], d[o])
+    idx_ref = ray.put(by_vid)
+
+    if not hasattr(pairs, "map_batches"):
+        arr = np.asarray(list(pairs), dtype=np.int64).reshape(-1, 2)
+        pairs = ray.data.from_arrow(
+            pa.table({"source": arr[:, 0], "target": arr[:, 1]})
+        )
+
+    def answer(t: pa.Table) -> pa.Table:
+        idx = ray.get(idx_ref)
+        s = t["source"].combine_chunks().to_numpy(zero_copy_only=False)
+        tt = t["target"].combine_chunks().to_numpy(zero_copy_only=False)
+        out = np.full(len(s), -1, dtype=np.int64)
+        for i in range(len(s)):
+            a = idx.get(int(s[i]))
+            b = idx.get(int(tt[i]))
+            if a is None or b is None:
+                continue
+            ha, da = a
+            hb, db = b
+            common, ia, ib = np.intersect1d(
+                ha, hb, assume_unique=True, return_indices=True
+            )
+            if len(common):
+                out[i] = int((da[ia] + db[ib]).min())
+        return pa.table({"source": s, "target": tt, "dist": out})
+
+    return pairs.map_batches(
+        answer, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def astar_distance(
+    edges_ds,
+    source: int,
+    target: int,
+    heuristic=None,
+    num_partitions: int = 8,
+    undirected: bool = True,
+    delta: float | None = None,
+):
+    """Point-to-point A* shortest path distance (reference distance/AStar)
+    on a non-negatively weighted graph.
+
+    Distributed formulation: a consistent heuristic h is applied as a
+    Johnson potential — w'(u,v) = w(u,v) + h(v) - h(u) >= 0 — so the
+    delta-stepping bucket order on the reweighted graph IS the A* f-value
+    order (f = g + h), and the ``stop_vid`` early exit settles the target
+    exactly when A* would pop it.  h(target) should be 0 and h must be
+    consistent (w' >= 0 is validated; violations raise ValueError).
+    ``heuristic`` is a dict/mapping vid -> h or None (h == 0: Dijkstra).
+    -> Dataset(1 row: source, target, dist) with dist = inf when
+    unreachable; also returns the relax-round count: (ds, rounds)."""
+    import ray
+    import ray.data
+
+    from networkit_ray.state.csr import BSPGraph
+    from networkit_ray.stages.graphops import dedup_edges
+
+    if undirected:
+        prepped = symmetrize(canonicalize_undirected(edges_ds, weight="min"))
+    else:
+        prepped = dedup_edges(edges_ds, weight="min")
+
+    if heuristic:
+        hv = np.asarray(sorted(heuristic.keys()), dtype=np.int64)
+        hh = np.asarray([float(heuristic[int(v)]) for v in hv], np.float64)
+        h_ref = ray.put((hv, hh))
+
+        def reweight(t: pa.Table) -> pa.Table:
+            vv, vh = ray.get(h_ref)
+
+            def h_of(x):
+                i = np.minimum(np.searchsorted(vv, x), len(vv) - 1)
+                out = np.where(vv[i] == x, vh[i], 0.0)
+                return out
+
+            s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            d = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+            w = t["w"].combine_chunks().to_numpy(zero_copy_only=False)
+            w2 = w + h_of(d) - h_of(s)
+            if (w2 < -1e-9).any():
+                raise ValueError(
+                    "A* heuristic is not consistent: reweighted edge "
+                    "weight went negative"
+                )
+            return pa.table({"src": s, "dst": d, "w": np.maximum(w2, 0.0)})
+
+        prepped = prepped.map_batches(
+            reweight, batch_format="pyarrow", zero_copy_batch=True
+        )
+    prepped = prepped.materialize()
+    if delta is None:
+        n_e = prepped.count()
+        mean_w = (prepped.sum("w") or 1.0) / max(n_e, 1)
+        delta = float(mean_w) if mean_w > 0 else 1.0
+    g = BSPGraph(prepped, None, num_partitions)
+    try:
+        dist, rounds = g.sssp(
+            np.asarray([int(source)], dtype=np.int64),
+            delta=delta,
+            stop_vid=int(target),
+        )
+        hit = dist.filter(expr=f"vid == {int(target)}").take_all()
+    finally:
+        g.shutdown()
+    d_rw = float(hit[0]["dist"]) if hit else float("inf")
+    # undo the potential shift: dist = dist' - h(target) + h(source)
+    if heuristic and np.isfinite(d_rw):
+        d_true = (
+            d_rw
+            - float(heuristic.get(int(target), 0.0))
+            + float(heuristic.get(int(source), 0.0))
+        )
+    else:
+        d_true = d_rw
+    out = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": np.array([source], dtype=np.int64),
+                "target": np.array([target], dtype=np.int64),
+                "dist": np.array([d_true], dtype=np.float64),
+            }
+        )
+    )
+    return out, rounds
+
+
 def single_pair_distance(
     edges_ds,
     source: int,

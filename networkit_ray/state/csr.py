@@ -922,6 +922,147 @@ class CSRPartition:
                 self.anf[idx] = self.anf[idx] | m
         return self._anf_estimate_total()
 
+    # ---- pruned landmark labeling (2-hop cover) -----------------------------
+    def pll_init(self) -> None:
+        """Per-partition label store for Pruned Landmark Labeling (Akiba/
+        Iwata/Yoshida, SIGMOD'13): ``_pll[hub] = (sorted local idx, hop
+        dist)`` — one compact pair of arrays per landmark whose pruned BFS
+        reached any vertex owned here.  Nothing vertex-global lives on the
+        driver; label lookups during later prunes are vectorized
+        searchsorted probes against these arrays."""
+        self._pll: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def pll_root_label(self, root: int):
+        """Gather L(root) = {(hub, dist)} for an owned vertex — the small
+        broadcast side of the next landmark's pruned BFS."""
+        pos = np.searchsorted(self.owned, root)
+        if pos >= self.n_owned or self.owned[pos] != root:
+            return (np.empty(0, np.int64), np.empty(0, np.int32))
+        hubs, dists = [], []
+        for h, (loc, dd) in self._pll.items():
+            i = np.searchsorted(loc, pos)
+            if i < len(loc) and loc[i] == pos:
+                hubs.append(h)
+                dists.append(int(dd[i]))
+        return (np.asarray(hubs, np.int64), np.asarray(dists, np.int32))
+
+    def pll_bfs_init(self, root: int, hub_vids, hub_dists) -> int:
+        """Start the pruned BFS for landmark ``root``; ``hub_vids/dists``
+        is L(root) from the previously processed landmarks (rank order)."""
+        self._pll_root = int(root)
+        self._pll_rhubs = np.asarray(hub_vids, np.int64)
+        self._pll_rdists = np.asarray(hub_dists, np.int32)
+        self._pll_seen = np.zeros(self.n_owned, dtype=bool)
+        self._pll_buf_loc: list[np.ndarray] = []
+        self._pll_buf_d: list[np.ndarray] = []
+        self._pll_frontier = np.empty(0, dtype=np.int64)
+        if self.n_owned == 0:
+            return 0
+        pos = np.searchsorted(self.owned, root)
+        if pos < self.n_owned and self.owned[pos] == root:
+            # the root always labels itself (root, 0): no earlier hub can
+            # witness distance 0 before root itself is a hub
+            self._pll_seen[pos] = True
+            self._pll_frontier = np.array([pos], dtype=np.int64)
+            self._pll_buf_loc.append(self._pll_frontier)
+            self._pll_buf_d.append(np.zeros(1, dtype=np.int32))
+            return 1
+        return 0
+
+    def pll_messages(self):
+        flag = np.zeros(self.n_owned, dtype=bool)
+        flag[self._pll_frontier] = True
+        out = []
+        for src_local, _w, out_idx, n_out in self.route:
+            if n_out == 0:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            mask = flag[src_local]
+            out.append(
+                np.unique(out_idx[mask]) if mask.any() else np.empty(0, np.int64)
+            )
+        return out[0] if self.P == 1 else tuple(out)
+
+    def pll_apply(self, d: int, *msgs) -> int:
+        """Candidates are unseen vertices reached at hop ``d``; a candidate
+        u is PRUNED iff an earlier-rank hub already witnesses
+        dist(root,u) <= d:  min over w in L(root) of d(root,w) + d(w,u),
+        with d(w,u) probed from the local label store.  Pruned vertices are
+        marked seen but neither labeled nor expanded (Akiba et al. lemma:
+        their subtree is covered by the same witness)."""
+        cand = [self.in_idx[s][m] for s, m in enumerate(msgs) if len(m)]
+        if not cand:
+            self._pll_frontier = np.empty(0, dtype=np.int64)
+            return 0
+        c = np.unique(np.concatenate(cand))
+        c = c[~self._pll_seen[c]]
+        if len(c) == 0:
+            self._pll_frontier = np.empty(0, dtype=np.int64)
+            return 0
+        self._pll_seen[c] = True
+        best = np.full(len(c), np.inf)
+        for w, dw in zip(self._pll_rhubs, self._pll_rdists):
+            ent = self._pll.get(int(w))
+            if ent is None:
+                continue
+            loc, dd = ent
+            i = np.searchsorted(loc, c)
+            i_cl = np.minimum(i, len(loc) - 1)
+            valid = loc[i_cl] == c
+            if valid.any():
+                best[valid] = np.minimum(
+                    best[valid], dd[i_cl[valid]].astype(np.float64) + float(dw)
+                )
+        keep = best > d
+        labeled = c[keep]
+        if len(labeled):
+            self._pll_buf_loc.append(labeled)
+            self._pll_buf_d.append(np.full(len(labeled), d, dtype=np.int32))
+        self._pll_frontier = labeled
+        return int(len(labeled))
+
+    def pll_bfs_finalize(self) -> int:
+        """Commit this landmark's labels (visible to later prunes)."""
+        if not self._pll_buf_loc:
+            return 0
+        loc = np.concatenate(self._pll_buf_loc)
+        dd = np.concatenate(self._pll_buf_d)
+        order = np.argsort(loc)
+        self._pll[self._pll_root] = (loc[order], dd[order])
+        self._pll_buf_loc = []
+        self._pll_buf_d = []
+        return int(len(loc))
+
+    def pll_labels_table(self) -> pa.Table:
+        vid, hub, dist = [], [], []
+        for h, (loc, dd) in sorted(self._pll.items()):
+            vid.append(self.owned[loc])
+            hub.append(np.full(len(loc), h, dtype=np.int64))
+            dist.append(dd.astype(np.int64))
+        if not vid:
+            return pa.table(
+                {
+                    "vid": np.empty(0, np.int64),
+                    "hub": np.empty(0, np.int64),
+                    "dist": np.empty(0, np.int64),
+                }
+            )
+        return pa.table(
+            {
+                "vid": np.concatenate(vid),
+                "hub": np.concatenate(hub),
+                "dist": np.concatenate(dist),
+            }
+        )
+
+    def dist_of(self, vid: int) -> float:
+        """Current tentative SSSP distance of an owned vertex (inf when
+        unreached; also inf when not owned — callers route to the owner)."""
+        pos = np.searchsorted(self.owned, vid)
+        if pos >= self.n_owned or self.owned[pos] != vid:
+            return float("inf")
+        return float(self.dist[pos])
+
     # ---- lineage / checkpoint --------------------------------------------
     def checkpoint(self, run_dir: str, it: int, job_id: str, kind: str = "score"):
         tbl = self.scores_table() if kind == "score" else self.labels_table()
@@ -1440,7 +1581,62 @@ class BSPGraph:
         return self._collect("levels_table"), rounds
 
     # ---- weighted SSSP (delta-stepping) ------------------------------------
-    def sssp(self, sources: np.ndarray, delta: float = 1.0, stats=None):
+    def pll_build(self, order: np.ndarray, stats=None):
+        """Pruned Landmark Labeling build (Akiba/Iwata/Yoshida SIGMOD'13):
+        one pruned BFS per vertex in ``order`` (degree-descending canonical
+        rank).  Each BFS is the synchronous frontier kernel of ``bfs`` plus
+        a vectorized witness probe against the partition-local label store;
+        the only driver traffic per landmark is L(root) (a few dozen hub
+        ids) and the per-round frontier counters.  Processing ALL vertices
+        in rank order makes the resulting 2-hop cover exact for every pair.
+        Returns (Dataset(vid, hub, dist), total label entries)."""
+        P, actors = self.P, self.actors
+        ray.get([a.pll_init.remote() for a in actors])
+        total = 0
+        t0 = time.perf_counter()
+        for root in np.asarray(order, dtype=np.int64):
+            root = int(root)
+            owner = actors[root % P]
+            hubs, dists = ray.get(owner.pll_root_label.remote(root))
+            found = sum(
+                ray.get(
+                    [a.pll_bfs_init.remote(root, hubs, dists) for a in actors]
+                )
+            )
+            d = 0  # depth is implicit in the synchronous round counter
+            while found > 0:
+                d += 1
+                if P == 1:
+                    msg_refs = [[actors[0].pll_messages.remote()]]
+                else:
+                    msg_refs = [
+                        list(a.pll_messages.options(num_returns=P).remote())
+                        for a in actors
+                    ]
+                found = sum(
+                    ray.get(
+                        [
+                            actors[t].pll_apply.remote(
+                                d, *[msg_refs[s][t] for s in range(P)]
+                            )
+                            for t in range(P)
+                        ]
+                    )
+                )
+            total += sum(
+                ray.get([a.pll_bfs_finalize.remote() for a in actors])
+            )
+        if stats is not None:
+            stats.setdefault("iter_wall_s", []).append(time.perf_counter() - t0)
+        return self._collect("pll_labels_table"), total
+
+    def sssp(
+        self,
+        sources: np.ndarray,
+        delta: float = 1.0,
+        stats=None,
+        stop_vid: int | None = None,
+    ):
         """Delta-stepping shortest paths (Meyer/Sanders 2003, bucketed
         frontier without the light/heavy edge split — each bucket relaxes
         all out-edges, re-relaxation bounded by bucket width): the driver
@@ -1449,6 +1645,10 @@ class BSPGraph:
         frontier everywhere at once (messages are per-partition-pair
         pre-minimized float arrays).  Non-negative weights required; exact
         at termination (the final state is the Bellman-Ford fixpoint).
+        ``stop_vid`` enables the A*/point-to-point early exit: once the
+        global bucket has advanced past stop_vid's tentative bucket, its
+        distance is settled (bucket monotonicity) and the loop ends — the
+        distributed analogue of popping the target off the heap.
         Returns (Dataset(vid, dist) with inf for unreachable, rounds)."""
         P, actors = self.P, self.actors
         found = sum(
@@ -1457,6 +1657,7 @@ class BSPGraph:
         rounds = 0
         t0 = time.perf_counter()
         k = 0.0
+        stop_owner = actors[int(stop_vid) % P] if stop_vid is not None else None
         while found > 0:
             rounds += 1
             if P == 1:
@@ -1476,6 +1677,10 @@ class BSPGraph:
             if not live:
                 break
             k = min(live)
+            if stop_owner is not None:
+                dt = ray.get(stop_owner.dist_of.remote(int(stop_vid)))
+                if np.isfinite(dt) and k > np.floor(dt / delta):
+                    break
         if stats is not None:
             stats.setdefault("iter_wall_s", []).append(time.perf_counter() - t0)
         return self._collect("dist_table"), rounds
