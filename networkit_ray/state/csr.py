@@ -1055,6 +1055,236 @@ class CSRPartition:
             }
         )
 
+    # ---- Laplacian conjugate gradient (batched multi-RHS) -------------------
+    def cg_init(self, k: int, shift: float = 0.0) -> None:
+        """State for k simultaneous CG solves of (shift*I + L) x = b,
+        L = D_w - A_w on the symmetrized routes (shift=0: the singular
+        Laplacian; shift=1: the SPD forest matrix I + L).  b accumulates
+        via cg_add_b partials; all vectors live partitioned (n_owned x k);
+        the driver only ever sees (k,)-sized dot products."""
+        self._cg_k = int(k)
+        self._cg_shift = float(shift)
+        self._cg_b = np.zeros((self.n_owned, self._cg_k), dtype=np.float64)
+
+    def cg_set_probes(self, seed: int, ones_col: bool = False) -> None:
+        """Hutchinson probe RHS: b[:, j] = +-1 hashed from (vid, j) —
+        partition-invariant; optional last column = the all-ones vector
+        (the row-sum solve)."""
+        import pandas as pd
+
+        k = self._cg_k - (1 if ones_col else 0)
+        cols = np.arange(k, dtype=np.uint64)
+        key = (
+            self.owned.astype(np.uint64)[:, None] * np.uint64(0x9E3779B97F4A7C15)
+            + cols[None, :] * np.uint64(2654435761)
+            + np.uint64(seed)
+        )
+        h = pd.util.hash_array(key.ravel()).reshape(self.n_owned, k)
+        self._cg_b[:, :k] = np.where((h & np.uint64(1)).astype(bool), 1.0, -1.0)
+        if ones_col:
+            self._cg_b[:, k] = 1.0
+
+    def cg_add_b(self, vids: np.ndarray, vals: np.ndarray) -> None:
+        pos = np.searchsorted(self.owned, np.asarray(vids, np.int64))
+        np.add.at(self._cg_b, pos, np.asarray(vals, np.float64))
+
+    def cg_start(self) -> np.ndarray:
+        """x = 0, r = p = b.  Returns local column sums of r.r and b.b."""
+        self._cg_x = np.zeros_like(self._cg_b)
+        self._cg_r = self._cg_b.copy()
+        self._cg_p = self._cg_b.copy()
+        rr = (self._cg_r * self._cg_r).sum(axis=0)
+        return np.stack([rr, rr])
+
+    def cg_matvec_messages(self):
+        """Per target: (n_out, k) pre-combined sums of w * p[src] — the
+        off-diagonal half of L p, same exchange shape as anf_messages."""
+        p = self._cg_p
+        out = []
+        for src_local, w, out_idx, n_out in self.route:
+            if n_out == 0:
+                out.append(np.empty((0, self._cg_k), dtype=np.float64))
+                continue
+            m = np.zeros((n_out, self._cg_k), dtype=np.float64)
+            np.add.at(m, out_idx, w[:, None] * p[src_local])
+            out.append(m)
+        return out[0] if self.P == 1 else tuple(out)
+
+    def cg_matvec_apply(self, *msgs) -> np.ndarray:
+        """Ap = wdeg*p - sum_in(w*p); returns local p.Ap column sums."""
+        inc = np.zeros_like(self._cg_p)
+        for s, m in enumerate(msgs):
+            if len(m):
+                idx = self.in_idx[s]  # unique per route: fancy += is safe
+                inc[idx] += m
+        self._cg_ap = (self.wdeg + self._cg_shift)[:, None] * self._cg_p - inc
+        return (self._cg_p * self._cg_ap).sum(axis=0)
+
+    def cg_update(self, alpha: np.ndarray) -> np.ndarray:
+        """x += alpha p; r -= alpha Ap (per column); returns local r.r."""
+        a = np.asarray(alpha, np.float64)[None, :]
+        self._cg_x += a * self._cg_p
+        self._cg_r -= a * self._cg_ap
+        return (self._cg_r * self._cg_r).sum(axis=0)
+
+    def cg_direction(self, beta: np.ndarray) -> None:
+        self._cg_p = self._cg_r + np.asarray(beta, np.float64)[None, :] * self._cg_p
+
+    def cg_x_table(self) -> pa.Table:
+        cols = {"vid": self.owned}
+        for j in range(self._cg_k):
+            cols[f"z{j}"] = self._cg_x[:, j]
+        return pa.table(cols)
+
+    def fc_table(self, n_probes: int) -> pa.Table:
+        """Forest-centrality locals after a shifted (I+L) solve whose first
+        n_probes columns were Hutchinson probes and last column the ones
+        vector: diag estimate = mean_j q_j * x_j, s = (I+L)^-1 1."""
+        diag = (
+            self._cg_b[:, :n_probes] * self._cg_x[:, :n_probes]
+        ).mean(axis=1)
+        s = self._cg_x[:, n_probes]
+        return pa.table({"vid": self.owned, "diag": diag, "s": s})
+
+    def cg_x_at(self, vids: np.ndarray) -> np.ndarray:
+        """x rows for OWNED vids (callers route by vid %% P); (m, k)."""
+        vids = np.asarray(vids, np.int64)
+        pos = np.minimum(np.searchsorted(self.owned, vids), self.n_owned - 1)
+        hit = self.owned[pos] == vids
+        out = np.full((len(vids), self._cg_k), np.nan, dtype=np.float64)
+        out[hit] = self._cg_x[pos[hit]]
+        return out
+
+    # ---- GED-Walk masked walk counts ----------------------------------------
+    def gw_init(self, mask_vids: np.ndarray) -> float:
+        """Walk-count chain x_l = (A_masked)^l 1 for GED-Walk: masked
+        vertices (the group S) have their rows/cols zeroed, so sum(x_l)
+        counts the l-walks that AVOID S entirely.  Keeps the per-level
+        history for candidate scoring.  Returns local sum(x_0)."""
+        mask = np.zeros(self.n_owned, dtype=bool)
+        mv = np.asarray(mask_vids, np.int64)
+        if len(mv) and self.n_owned:
+            pos = np.minimum(np.searchsorted(self.owned, mv), self.n_owned - 1)
+            hit = self.owned[pos] == mv
+            mask[pos[hit]] = True
+        self._gw_mask = mask
+        self._gw_x = np.where(mask, 0.0, 1.0)
+        self._gw_hist = [self._gw_x.copy()]
+        return float(self._gw_x.sum())
+
+    def gw_messages(self):
+        x = self._gw_x
+        out = []
+        for src_local, w, out_idx, n_out in self.route:
+            if n_out == 0:
+                out.append(np.empty(0, dtype=np.float64))
+                continue
+            out.append(
+                np.bincount(out_idx, weights=w * x[src_local], minlength=n_out)
+            )
+        return out[0] if self.P == 1 else tuple(out)
+
+    def gw_apply(self, *msgs) -> float:
+        inc = np.zeros(self.n_owned, dtype=np.float64)
+        for s, m in enumerate(msgs):
+            if len(m):
+                inc[self.in_idx[s]] += m
+        inc[self._gw_mask] = 0.0
+        self._gw_x = inc
+        self._gw_hist.append(inc.copy())
+        return float(inc.sum())
+
+    def gw_candidate_scores(self, alpha: float, top_c: int):
+        """Heuristic marginal-gain score per non-masked owned vertex from
+        the stored levels: score(v) = sum over i + j + 1 <= L of
+        alpha^(i+j+1) f_i(v) f_j(v) — walks counted through v (symmetric
+        A: forward == backward).  Returns this partition's top_c
+        (vids, scores)."""
+        H = np.stack(self._gw_hist, axis=1)  # (n_owned, L+1)
+        L = H.shape[1] - 1
+        score = np.zeros(self.n_owned, dtype=np.float64)
+        for i in range(L + 1):
+            for j in range(L - i):
+                score += (alpha ** (i + j + 1)) * H[:, i] * H[:, j]
+        score[self._gw_mask] = -np.inf
+        c = min(top_c, self.n_owned)
+        if c == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.float64))
+        idx = np.argpartition(-score, c - 1)[:c]
+        idx = idx[np.argsort(-score[idx], kind="stable")]
+        keep = np.isfinite(score[idx])
+        return (self.owned[idx[keep]], score[idx[keep]])
+
+    # ---- SEIR epidemic simulation -------------------------------------------
+    def seir_init(
+        self, zero_vids, e_time: int, i_time: int, trans_p: float, seed: int
+    ) -> tuple:
+        """States: 0=S 1=E 2=I 3=R plus a phase timer.  Randomness is a
+        counter hash of (vid, t) — partition-invariant and replayable."""
+        self._seir_et, self._seir_it = int(e_time), int(i_time)
+        self._seir_p, self._seir_seed = float(trans_p), int(seed)
+        self._seir_state = np.zeros(self.n_owned, dtype=np.int8)
+        self._seir_timer = np.zeros(self.n_owned, dtype=np.int32)
+        zv = np.asarray(zero_vids, np.int64)
+        if len(zv) and self.n_owned:
+            pos = np.minimum(np.searchsorted(self.owned, zv), self.n_owned - 1)
+            hit = self.owned[pos] == zv
+            self._seir_state[pos[hit]] = 2
+            self._seir_timer[pos[hit]] = self._seir_it
+        return self._seir_counts()
+
+    def _seir_counts(self) -> tuple:
+        return tuple(int((self._seir_state == s).sum()) for s in range(4))
+
+    def seir_messages(self):
+        inf = self._seir_state == 2
+        out = []
+        for src_local, _w, out_idx, n_out in self.route:
+            if n_out == 0:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            mask = inf[src_local]
+            out.append(
+                np.bincount(out_idx[mask], minlength=n_out).astype(np.int64)
+                if mask.any()
+                else np.zeros(n_out, dtype=np.int64)
+            )
+        return out[0] if self.P == 1 else tuple(out)
+
+    def seir_apply(self, t: int, *msgs) -> tuple:
+        """Synchronous step: timers first (E->I, I->R on expiry), then new
+        exposures from the PRE-STEP infectious set (the message counts).
+        P(S->E) = 1 - (1-p)^(#I neighbors); draw = hash(vid, t, seed)."""
+        import pandas as pd
+
+        st, tm = self._seir_state, self._seir_timer
+        tm[(st == 1) | (st == 2)] -= 1
+        to_i = (st == 1) & (tm <= 0)
+        to_r = (st == 2) & (tm <= 0)
+        st[to_i] = 2
+        tm[to_i] = self._seir_it
+        st[to_r] = 3
+        cnt = np.zeros(self.n_owned, dtype=np.int64)
+        for s, m in enumerate(msgs):
+            if len(m):
+                cnt[self.in_idx[s]] += m
+        sus = (st == 0) & (cnt > 0)
+        if sus.any():
+            key = (
+                self.owned[sus].astype(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)
+                + np.uint64(t) * np.uint64(2654435761)
+                + np.uint64(self._seir_seed)
+            )
+            u = (pd.util.hash_array(key.view(np.int64)) >> np.uint64(11)) * (
+                2.0**-53
+            )
+            p_inf = 1.0 - (1.0 - self._seir_p) ** cnt[sus]
+            newly = np.flatnonzero(sus)[u < p_inf]
+            st[newly] = 1
+            tm[newly] = self._seir_et
+        return self._seir_counts()
+
     def dist_of(self, vid: int) -> float:
         """Current tentative SSSP distance of an owned vertex (inf when
         unreached; also inf when not owned — callers route to the owner)."""
@@ -1581,6 +1811,122 @@ class BSPGraph:
         return self._collect("levels_table"), rounds
 
     # ---- weighted SSSP (delta-stepping) ------------------------------------
+    def gw_chain(self, mask_vids: np.ndarray, L: int) -> np.ndarray:
+        """Run L masked walk-count matvec rounds; returns the (L+1,) array
+        of global level sums [sum(x_0), ..., sum(x_L)] — everything GED
+        evaluation needs, one scalar per round on the driver."""
+        P, actors = self.P, self.actors
+        sums = [sum(ray.get([a.gw_init.remote(mask_vids) for a in actors]))]
+        for _ in range(L):
+            if P == 1:
+                msg_refs = [[actors[0].gw_messages.remote()]]
+            else:
+                msg_refs = [
+                    list(a.gw_messages.options(num_returns=P).remote())
+                    for a in actors
+                ]
+            sums.append(
+                sum(
+                    ray.get(
+                        [
+                            actors[t].gw_apply.remote(
+                                *[msg_refs[s][t] for s in range(P)]
+                            )
+                            for t in range(P)
+                        ]
+                    )
+                )
+            )
+        return np.asarray(sums, dtype=np.float64)
+
+    def seir_run(
+        self,
+        zero_vids,
+        t_max: int,
+        e_time: int,
+        i_time: int,
+        trans_p: float,
+        seed: int,
+    ) -> np.ndarray:
+        """Synchronous SEIR rounds; returns the (t_max+1, 4) S/E/I/R count
+        trajectory (row 0 = initial state).  Stops early when no E or I
+        remain (epidemic over)."""
+        P, actors = self.P, self.actors
+        c0 = ray.get(
+            [
+                a.seir_init.remote(zero_vids, e_time, i_time, trans_p, seed)
+                for a in actors
+            ]
+        )
+        traj = [np.sum(c0, axis=0)]
+        for t in range(1, t_max + 1):
+            if traj[-1][1] + traj[-1][2] == 0:
+                break
+            if P == 1:
+                msg_refs = [[actors[0].seir_messages.remote()]]
+            else:
+                msg_refs = [
+                    list(a.seir_messages.options(num_returns=P).remote())
+                    for a in actors
+                ]
+            cs = ray.get(
+                [
+                    actors[t_id].seir_apply.remote(
+                        t, *[msg_refs[s][t_id] for s in range(P)]
+                    )
+                    for t_id in range(P)
+                ]
+            )
+            traj.append(np.sum(cs, axis=0))
+        return np.asarray(traj, dtype=np.int64)
+
+    def cg_solve(self, maxiter: int = 500, tol: float = 1e-8, stats=None):
+        """Batched conjugate gradient on the graph Laplacian over the BSP
+        exchange: k right-hand sides advance in lockstep (per-column
+        alpha/beta), one matvec exchange per iteration, driver traffic is
+        two (k,) dot-product reductions per round.  L is singular
+        (nullspace = per-component constants); with x0 = 0 and every RHS
+        component-sum-zero (guaranteed for B^T W^(1/2) q and e_u - e_v
+        within a component) CG converges to the pseudoinverse solution.
+        Callers must cg_init + cg_add_b first.  Returns (iters, final
+        max relative residual)."""
+        P, actors = self.P, self.actors
+        start = ray.get([a.cg_start.remote() for a in actors])
+        rs = sum(s[0] for s in start)
+        bb = sum(s[1] for s in start)
+        bb = np.maximum(bb, 1e-300)
+        it = 0
+        t0 = time.perf_counter()
+        while it < maxiter and float(np.max(rs / bb)) > tol * tol:
+            it += 1
+            if P == 1:
+                msg_refs = [[actors[0].cg_matvec_messages.remote()]]
+            else:
+                msg_refs = [
+                    list(a.cg_matvec_messages.options(num_returns=P).remote())
+                    for a in actors
+                ]
+            pap = sum(
+                ray.get(
+                    [
+                        actors[t].cg_matvec_apply.remote(
+                            *[msg_refs[s][t] for s in range(P)]
+                        )
+                        for t in range(P)
+                    ]
+                )
+            )
+            alpha = np.where(pap > 0, rs / np.maximum(pap, 1e-300), 0.0)
+            rs_new = sum(
+                ray.get([a.cg_update.remote(alpha) for a in actors])
+            )
+            beta = rs_new / np.maximum(rs, 1e-300)
+            ray.get([a.cg_direction.remote(beta) for a in actors])
+            rs = rs_new
+        if stats is not None:
+            stats.setdefault("iter_wall_s", []).append(time.perf_counter() - t0)
+        return it, float(np.max(np.sqrt(rs / bb)))
+
     def pll_build(self, order: np.ndarray, stats=None):
         """Pruned Landmark Labeling build (Akiba/Iwata/Yoshida SIGMOD'13):
         one pruned BFS per vertex in ``order`` (degree-descending canonical
