@@ -302,11 +302,31 @@ def q_link_prediction(sf_dir):
     )
 
 
-def q_tumbling_window(sf_dir):
-    from networkit_ray.pipelines.windows import tumbling_window
+def q_hopping_windows(sf_dir):
+    """Carrier for the per-user window family (SURVEY §2): tumbling
+    (kind='tumbling', W=3600s) UNION sliding/hopping (kind='sliding',
+    W=3600s hopping by S=900s) — one registry slot value-checks both."""
+    from networkit_ray.pipelines.windows import sliding_window, tumbling_window
     from networkit_ray.sources.tables import read_table
 
-    out = tumbling_window(read_table(sf_dir, "events"), window_s=3600, num_partitions=P)
+    def tag(kind):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "kind": pa.array([kind] * len(t), pa.string()),
+                    **{n: t[n] for n in t.schema.names},
+                }
+            )
+
+        return f
+
+    tw = tumbling_window(read_table(sf_dir, "events"), window_s=3600, num_partitions=P)
+    sw = sliding_window(
+        read_table(sf_dir, "events"), window_s=3600, step_s=900, num_partitions=P
+    )
+    out = tw.map_batches(tag("tumbling"), batch_format="pyarrow").union(
+        sw.map_batches(tag("sliding"), batch_format="pyarrow")
+    )
     return _round6(out, "sum_value")
 
 
@@ -1974,7 +1994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partition_metrics": q_partition_metrics,
         "link_prediction": q_link_prediction,
         "linkpred_auc": q_linkpred_auc,
-        "tumbling_window": q_tumbling_window,
+        "hopping_windows": q_hopping_windows,
         "session_windows": q_session_windows,
         "text_stats": q_text_stats,
         "exact_dedup": q_exact_dedup,
@@ -2391,12 +2411,24 @@ FROM agg JOIN sdeg du ON du.v = agg.u JOIN sdeg dv ON dv.v = agg.v
 """
 )
 
-_TUMBLING_SQL = """
-SELECT user_id,
-       (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
-       COUNT(*) AS n_events,
-       FLOOR(SUM(value) * 1000000 + 0.5) / 1000000.0 AS sum_value
-FROM events GROUP BY 1, 2
+_WINDOWS_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts, value FROM events),
+t AS (
+  SELECT 'tumbling' AS kind, user_id,
+         (ts // 3600000000) * 3600000000 AS window_start_us,
+         COUNT(*) AS n_events,
+         FLOOR(SUM(value) * 1000000 + 0.5) / 1000000.0 AS sum_value
+  FROM e GROUP BY 2, 3
+),
+s AS (
+  SELECT 'sliding' AS kind, user_id,
+         (ts // 900000000) * 900000000 - h.h * 900000000 AS window_start_us,
+         COUNT(*) AS n_events,
+         FLOOR(SUM(value) * 1000000 + 0.5) / 1000000.0 AS sum_value
+  FROM e CROSS JOIN (SELECT CAST(UNNEST([0, 1, 2, 3]) AS BIGINT) AS h) h
+  GROUP BY 2, 3
+)
+SELECT * FROM t UNION ALL SELECT * FROM s
 """
 
 _SESSION_SQL = """
@@ -3261,7 +3293,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT lp.*, kz.katz_index FROM ({_LINKPRED_SQL}) lp "
             f"JOIN ({_KATZ_INDEX_SQL}) kz USING (u, v)"
         ),
-        "tumbling_window": _TUMBLING_SQL,
+        "hopping_windows": _WINDOWS_SQL,
         "session_windows": _SESSION_SQL,
         "modularity_plp": _modularity_sql(PLP_ITERS),
         "text_stats": _TEXT_STATS_SQL,

@@ -93,3 +93,56 @@ def session_windows(events_ds, gap_s: int = 1800, num_partitions: int = 8):
     return events_ds.select_columns(["user_id", "ts", "value"]).groupby(
         "user_id", num_partitions=num_partitions
     ).map_groups(sess, batch_format="pandas")
+
+
+def sliding_window(
+    events_ds, window_s: int = 3600, step_s: int = 900,
+    num_partitions: int = 8,
+):
+    """Hopping/sliding event-time windows per user: window W sliding by
+    step S (W %% S == 0 required) — each event lands in W/S hop windows.
+
+    Vectorized replicate-then-combine: per batch, rows fan out to their
+    hop window starts with a numpy repeat/arange (no per-row Python),
+    pre-combine by (user, window) BEFORE the one global groupby, so the
+    shuffle volume is the combined key count, not rows x hops.
+    -> (user_id, window_start_us, n_events, sum_value), windows that
+    contain at least one event only."""
+    if window_s % step_s != 0:
+        raise ValueError("window_s must be a multiple of step_s")
+    us_w = np.int64(window_s) * 1_000_000
+    us_s = np.int64(step_s) * 1_000_000
+    hops = int(window_s // step_s)
+
+    def pre(t: pa.Table) -> pa.Table:
+        col = t["ts"].combine_chunks()
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.timestamp("us"))
+        ts = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # last hop window containing ts starts at floor(ts/S)*S; the
+        # containing windows start there and walk back hops-1 steps
+        last = (ts // us_s) * us_s
+        starts = last[:, None] - us_s * np.arange(hops, dtype=np.int64)[None, :]
+        # a window only contains ts if ts < start + W (always true here:
+        # start >= last - (hops-1)S = floor(ts/S)S - W + S > ts - W)
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        val = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        out = pa.table(
+            {
+                "user_id": np.repeat(uid, hops),
+                "window_start_us": starts.ravel(),
+                "n": np.ones(len(ts) * hops, dtype=np.int64),
+                "v": np.repeat(val, hops),
+            }
+        )
+        return (
+            out.group_by(["user_id", "window_start_us"])
+            .aggregate([("n", "sum"), ("v", "sum")])
+            .rename_columns(["user_id", "window_start_us", "n", "v"])
+        )
+
+    return (
+        events_ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "window_start_us"], num_partitions=num_partitions)
+        .aggregate(Sum("n", alias_name="n_events"), Sum("v", alias_name="sum_value"))
+    )

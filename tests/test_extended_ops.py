@@ -527,3 +527,49 @@ def test_kfold_cross_validation(ray_session):
         assert abs(row["auc_roc"] - one["auc_roc"]) < 1e-12
         assert abs(row["auc_pr"] - one["auc_pr"]) < 1e-12
         assert row["n_pos"] == one["n_pos"] and row["n_neg"] == one["n_neg"]
+
+
+def test_sliding_window_vs_pandas(ray_session):
+    from networkit_ray.pipelines.windows import sliding_window
+
+    ds = events_ds()
+    W, S = 3600, 900
+    got = (
+        sliding_window(ds, window_s=W, step_s=S, num_partitions=4)
+        .to_pandas()
+        .sort_values(["user_id", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    df = ds.to_pandas()
+    ts = df["ts"].astype("int64").to_numpy()
+    rows = []
+    for uid, t_us, val in zip(df["user_id"], ts, df["value"]):
+        last = (t_us // (S * 1_000_000)) * (S * 1_000_000)
+        for h in range(W // S):
+            start = last - h * S * 1_000_000
+            if start <= t_us < start + W * 1_000_000:
+                rows.append((uid, start, val))
+    import pandas as pd
+
+    want = (
+        pd.DataFrame(rows, columns=["user_id", "window_start_us", "value"])
+        .groupby(["user_id", "window_start_us"])
+        .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+        .reset_index()
+        .sort_values(["user_id", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["user_id"].to_numpy() == want["user_id"].to_numpy()).all()
+    assert (
+        got["window_start_us"].to_numpy() == want["window_start_us"].to_numpy()
+    ).all()
+    assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+    np.testing.assert_allclose(got["sum_value"], want["sum_value"], atol=1e-9)
+    # each event lands in exactly W/S windows
+    assert got["n_events"].sum() == ds.count() * (W // S)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sliding_window(ds, window_s=3600, step_s=1000)
