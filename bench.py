@@ -38,6 +38,26 @@ SCALE_P = int(os.environ.get("GRAFT_SCALE_P", "8"))
 COPY_OFFSET = 100_000_000
 
 
+def _proc_stat():
+    """(steal_jiffies, total_jiffies) from /proc/stat's aggregate cpu line."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except Exception:
+        return (0, 0)
+
+
+def _steal_pct(before, after) -> float:
+    """CPU-steal share of elapsed host time between two _proc_stat snaps.
+    >5% means a noisy virtualized host is eating our cores mid-measurement
+    (this VM has shown 3-38% bursts); reported so BENCH json carries the
+    noise evidence alongside the timings it distorts."""
+    ds, dt = after[0] - before[0], after[1] - before[1]
+    return round(100.0 * ds / dt, 1) if dt > 0 else 0.0
+
+
 def _init_ray():
     import ray
 
@@ -105,6 +125,7 @@ def run_headline():
     P = min(16, max(4, NUM_CPUS // 2))
     q: dict[str, float] = {}
     extra: dict[str, object] = {}
+    stat0 = _proc_stat()
 
     # warm the page cache so we measure compute+shuffle, not first disk read
     edges = _edges(P).materialize()
@@ -185,6 +206,7 @@ def run_headline():
     knn_ivf(emb, emb.limit(100), k=10, num_centroids=64, nprobe=8).count()
     q["knn_ivf"] = time.perf_counter() - t0
 
+    extra["host_steal_pct"] = _steal_pct(stat0, _proc_stat())
     out = {
         "metric": "headline pipelines wall time (sf tables)",
         "value": round(sum(q.values()), 3),
@@ -215,6 +237,7 @@ def run_scale_probe():
     import ray
 
     P = SCALE_P
+    stat0 = _proc_stat()
     wall, iter_wall, iters, n, base_edges, st = bench_pagerank_scaled(P)
     print(
         json.dumps(
@@ -231,6 +254,7 @@ def run_scale_probe():
                 "num_cpus": NUM_CPUS,
                 "partitions": P,
                 "copies": SCALE_COPIES,
+                "host_steal_pct": _steal_pct(stat0, _proc_stat()),
             }
         )
     )
@@ -288,6 +312,8 @@ def run_scaling():
                 "iters": r_lo["iters"],
                 "copies": SCALE_COPIES,
                 "reps_per_leg": reps,
+                "host_steal_pct_lo": r_lo.get("host_steal_pct"),
+                "host_steal_pct_hi": r_hi.get("host_steal_pct"),
                 "scaling_efficiency": round(eff_iter, 3),
                 "scaling_efficiency_total": round(eff_total, 3),
                 "pass": eff_iter >= 0.8,
