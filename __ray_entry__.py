@@ -634,6 +634,127 @@ def q_matching_check(sf_dir):
         or 0
     )
 
+    # --- b-matching (b=2) invariants, same contract family (r5): any
+    # correct maximal 2-matching has zero non-edges, zero vertices with
+    # more than b matched edges, and zero unmatched graph edges whose
+    # endpoints are BOTH unsaturated ---
+    from networkit_ray.pipelines.matching import b_matching
+
+    m2 = b_matching(_edges(sf_dir), b=2, num_partitions=P).materialize()
+    ends2 = m2.map_batches(
+        lambda t: pa.table(
+            {
+                "vid": pa.concat_arrays(
+                    [
+                        t["src"].combine_chunks().cast(pa.int64()),
+                        t["dst"].combine_chunks().cast(pa.int64()),
+                    ]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cnt2 = ends2.groupby("vid", num_partitions=P).count().materialize()
+
+    def _overcap(t: pa.Table) -> pa.Table:
+        c = t["count()"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([int((c > 2).sum())], pa.int64())})
+
+    b2_overcap = int(
+        cnt2.map_batches(_overcap, batch_format="pyarrow", zero_copy_batch=True).sum("n")
+        or 0
+    )
+
+    flag2 = m2.map_batches(
+        lambda t: pa.table(
+            {"src": t["src"], "dst": t["dst"], "in_m": pa.array(np.ones(t.num_rows, np.int8))}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    joined2 = canon.join(
+        flag2, join_type="left_outer", num_partitions=P, on=("src", "dst")
+    ).materialize()
+
+    def _valid_sum(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n": pa.array([int(pc.sum(pc.is_valid(t["in_m"])).as_py() or 0)], pa.int64())}
+        )
+
+    b2_nonedges = int(m2.count()) - int(
+        joined2.map_batches(_valid_sum, batch_format="pyarrow", zero_copy_batch=True).sum("n")
+        or 0
+    )
+
+    def _sat2(t: pa.Table) -> pa.Table:
+        c = t["count()"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = t["vid"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = c >= 2
+        return pa.table(
+            {
+                "vid": pa.array(v[keep], pa.int64()),
+                "mm": pa.array(np.ones(int(keep.sum()), np.int8)),
+            }
+        )
+
+    sat2 = cnt2.map_batches(_sat2, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    unmatched2 = joined2.map_batches(
+        lambda t: pa.table({"src": t["src"], "dst": t["dst"], "flag": t["in_m"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    if sat2.count() == 0:
+        b2_not_maximal = int(
+            unmatched2.map_batches(
+                lambda t: pa.table(
+                    {"n": pa.array([int(pc.sum(pc.is_null(t["flag"])).as_py() or 0)], pa.int64())}
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).sum("n")
+            or 0
+        )
+    else:
+        both2 = (
+            unmatched2.join(
+                sat2, join_type="left_outer", num_partitions=P, on=("src",), right_on=("vid",)
+            )
+            .map_batches(
+                lambda t: pa.table({"dst": t["dst"], "flag": t["flag"], "mm_s": t["mm"]}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .join(
+                sat2, join_type="left_outer", num_partitions=P, on=("dst",), right_on=("vid",)
+            )
+        )
+        b2_not_maximal = int(
+            both2.map_batches(
+                lambda t: pa.table(
+                    {
+                        "n": pa.array(
+                            [
+                                int(
+                                    pc.sum(
+                                        pc.and_(
+                                            pc.is_null(t["flag"]),
+                                            pc.and_(pc.is_null(t["mm_s"]), pc.is_null(t["mm"])),
+                                        )
+                                    ).as_py()
+                                    or 0
+                                )
+                            ],
+                            pa.int64(),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).sum("n")
+            or 0
+        )
+
     import ray.data
 
     return ray.data.from_arrow(
@@ -642,6 +763,9 @@ def q_matching_check(sf_dir):
                 "nonedges": pa.array([nonedges], pa.int64()),
                 "not_maximal": pa.array([not_maximal], pa.int64()),
                 "vertex_reuse": pa.array([vertex_reuse], pa.int64()),
+                "b2_nonedges": pa.array([b2_nonedges], pa.int64()),
+                "b2_overcap": pa.array([b2_overcap], pa.int64()),
+                "b2_not_maximal": pa.array([b2_not_maximal], pa.int64()),
             }
         )
     )
@@ -3334,11 +3458,15 @@ def oracle_sql() -> dict[str, str]:
             " CAST(0 AS BIGINT) AS uncovered"
         ),
         # matching_check: same pattern — any correct maximal matching has
-        # zero invalid pairs, zero reused vertices, zero uncovered edges
+        # zero invalid pairs, zero reused vertices, zero uncovered edges;
+        # the b2_* columns pin the b-matching (b=2) contract the same way
         "matching_check": (
             "SELECT CAST(0 AS BIGINT) AS nonedges,"
             " CAST(0 AS BIGINT) AS not_maximal,"
-            " CAST(0 AS BIGINT) AS vertex_reuse"
+            " CAST(0 AS BIGINT) AS vertex_reuse,"
+            " CAST(0 AS BIGINT) AS b2_nonedges,"
+            " CAST(0 AS BIGINT) AS b2_overcap,"
+            " CAST(0 AS BIGINT) AS b2_not_maximal"
         ),
         "cliques_bipartite": _CLIQUES_BIPARTITE_SQL,
         "closeness_sampled": _CLOSENESS_SQL,
