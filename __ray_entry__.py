@@ -414,16 +414,49 @@ def q_cosine_near_dups(sf_dir):
 def q_bfs_depths(sf_dir):
     """Undirected BFS depths on the customer-supplier graph from the
     minimum vid (depth -1 = unreached); capped at 30 rounds to mirror the
-    recursive-CTE oracle's depth bound (graph diameter is far smaller)."""
-    from networkit_ray.pipelines.traversal import bfs_depths
+    recursive-CTE oracle's depth bound (graph diameter is far smaller).
+
+    Also a carrier for PrunedLandmarkLabeling (r5): the ``pll_depth``
+    column serves source->v for EVERY vertex from the 2-hop label index,
+    and the oracle pins it equal to the BFS depth — the hash gate fails
+    unless the whole labeling is a correct exact 2-hop cover."""
+    from networkit_ray.pipelines.traversal import (
+        bfs_depths,
+        pll_distances,
+        pruned_landmark_labels,
+    )
     from networkit_ray.stages.graphops import vertices_from_edges
 
     edges = _edges(sf_dir)
-    src = vertices_from_edges(edges).min("vid")
+    src = int(vertices_from_edges(edges).min("vid"))
     depths, _ = bfs_depths(
-        edges, [int(src)], num_partitions=P, undirected=True, max_depth=30
+        edges, [src], num_partitions=P, undirected=True, max_depth=30
     )
-    return depths
+
+    labels, _total = pruned_landmark_labels(edges, num_partitions=P)
+    pairs = vertices_from_edges(edges).map_batches(
+        lambda t, s=src: pa.table(
+            {
+                "source": pa.array(np.full(t.num_rows, s, np.int64)),
+                "target": t["vid"].combine_chunks().cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    served = pll_distances(labels, pairs).map_batches(
+        lambda t: pa.table({"vid": t["target"], "pll_depth": t["dist"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    out = depths.join(served, join_type="inner", num_partitions=P, on=("vid",))
+    return out.map_batches(
+        lambda t: pa.table(
+            {"vid": t["vid"], "depth": t["depth"], "pll_depth": t["pll_depth"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def q_partition_compare(sf_dir):
@@ -2620,7 +2653,8 @@ bfs AS (
   WHERE b.depth < 30
 ),
 md AS (SELECT vid, MIN(depth) AS depth FROM bfs GROUP BY 1)
-SELECT v.vid, COALESCE(m.depth, -1) AS depth
+SELECT v.vid, COALESCE(m.depth, -1) AS depth,
+       COALESCE(m.depth, -1) AS pll_depth
 FROM verts v LEFT JOIN md m ON v.vid = m.vid
 """
 )
