@@ -339,6 +339,22 @@ def q_session_windows(sf_dir):
 
 
 def q_modularity(sf_dir):
+    """PLP modularity + coarsening rider (driver-value-checks the public
+    `contract_by_labels`/`project_labels` operators, SURVEY §2.3
+    coarsening/): the PLP labeling contracts to its coarse graph —
+    `coarse_edge_rows` (distinct canonical label pairs) and
+    `coarse_selfloop_w` (intra-community weight folded into self-loops)
+    are pinned by the SQL oracle's own label-pair aggregation — and the
+    identity clustering of the coarse nodes projects back through
+    `project_labels`, with the mismatch count vs the original labeling
+    pinned to zero."""
+    import ray.data
+    from ray.data.aggregate import Max
+
+    from networkit_ray.pipelines.coarsening import (
+        contract_by_labels,
+        project_labels,
+    )
     from networkit_ray.pipelines.community import modularity
     from networkit_ray.pipelines.labelprop import label_propagation
 
@@ -346,7 +362,51 @@ def q_modularity(sf_dir):
     labels, _ = label_propagation(
         edges, fixed_iters=PLP_ITERS, num_partitions=P, engine="actor"
     )
-    return _round6(modularity(edges, labels, num_partitions=P), "modularity")
+    labels = labels.materialize()
+    q = float(
+        modularity(edges, labels, num_partitions=P).take_all()[0]["modularity"]
+    )
+
+    coarse = contract_by_labels(edges, labels, num_partitions=P).materialize()
+    coarse_rows = coarse.count()
+    loops = coarse.filter(expr="src == dst")
+    selfw = int(loops.sum("w") or 0) if loops.count() > 0 else 0
+
+    # ClusteringProjector check: the identity clustering of the coarse
+    # nodes, projected back to the fine graph, must reproduce `labels`.
+    cl = (
+        labels.groupby("label", num_partitions=P)
+        .aggregate(Max("label", alias_name="l2"))
+        .map_batches(
+            lambda t: pa.table({"vid": t["label"], "label": t["l2"]}),
+            batch_format="pyarrow",
+        )
+    )
+    proj = project_labels(cl, labels, num_partitions=P).map_batches(
+        lambda t: pa.table({"pvid": t["vid"], "plabel": t["label"]}),
+        batch_format="pyarrow",
+    )
+    joined = labels.join(
+        proj, join_type="inner", num_partitions=P, on=("vid",),
+        right_on=("pvid",),
+    ).map_batches(
+        lambda t: pa.table({"label": t["label"], "plabel": t["plabel"]}),
+        batch_format="pyarrow",
+    )
+    mism = joined.filter(expr="plabel != label").count()
+    mism += labels.count() - joined.count()  # dropped vertices count too
+
+    qr = float(np.floor(q * 1e6 + 0.5) / 1e6)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "modularity": pa.array([qr], pa.float64()),
+                "coarse_edge_rows": pa.array([coarse_rows], pa.int64()),
+                "coarse_selfloop_w": pa.array([selfw], pa.int64()),
+                "proj_mismatch": pa.array([int(mism)], pa.int64()),
+            }
+        )
+    )
 
 
 def q_text_stats(sf_dir):
@@ -968,14 +1028,34 @@ def q_sssp_weighted(sf_dir):
     graph from the minimum vid; parallel edges collapse to min weight.
     Weights are lineitem counts (small ints), so the DuckDB oracle's
     bounded-dist recursive CTE stays tractable (true max dist is 4 at
-    sf0.01; the cap of 12 is slack, not binding)."""
-    from networkit_ray.pipelines.traversal import sssp_weighted
+    sf0.01; the cap of 12 is slack, not binding).
+
+    A* rider (driver-value-checks `astar_distance`, SURVEY §2.3
+    distance/AStar): the point-to-point A* distance min-vid -> max
+    reachable vid is appended as a constant `astar_dist` column; the SQL
+    oracle pins it to the recursive-CTE dist of that same target, so the
+    gate fails unless A*'s early-stopped bucket order settles the target
+    at the true shortest distance.  (The Johnson-potential heuristic path
+    is pytest-checked against networkx in tests/test_landmarks.py.)"""
+    from networkit_ray.pipelines.traversal import astar_distance, sssp_weighted
     from networkit_ray.stages.graphops import vertices_from_edges
 
     edges = _edges(sf_dir)
     src = vertices_from_edges(edges).min("vid")
     dist, _ = sssp_weighted(edges, [int(src)], num_partitions=P, undirected=True)
-    return dist
+    dist = dist.materialize()
+    target = int(dist.max("vid"))
+    ad, _ = astar_distance(
+        edges, int(src), target, num_partitions=P, undirected=True
+    )
+    a_val = float(ad.take_all()[0]["dist"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "astar_dist", pa.array(np.full(len(t), a_val, dtype=np.float64))
+        )
+
+    return dist.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_closeness(sf_dir):
@@ -2629,11 +2709,21 @@ vdeg AS (
 s_c AS (
   SELECT l.label, SUM(d.wd) AS sc
   FROM vdeg d JOIN lab l ON l.vid = d.v GROUP BY 1
+),
+ce AS (
+  SELECT LEAST(a.label, b.label) AS cs, GREATEST(a.label, b.label) AS cd,
+         SUM(e.w) AS w
+  FROM edges e JOIN lab a ON a.vid = e.src JOIN lab b ON b.vid = e.dst
+  GROUP BY 1, 2
 )
 SELECT FLOOR(SUM(COALESCE(w.w_in, 0.0) / (SELECT W FROM ww)
              - (s.sc / (2 * (SELECT W FROM ww)))
                * (s.sc / (2 * (SELECT W FROM ww))))
-       * 1000000 + 0.5) / 1000000.0 AS modularity
+       * 1000000 + 0.5) / 1000000.0 AS modularity,
+       (SELECT COUNT(*) FROM ce) AS coarse_edge_rows,
+       (SELECT CAST(COALESCE(SUM(w), 0) AS BIGINT) FROM ce WHERE cs = cd)
+           AS coarse_selfloop_w,
+       CAST(0 AS BIGINT) AS proj_mismatch
 FROM s_c s LEFT JOIN w_c w ON s.label = w.label
 """,
         )
@@ -2672,8 +2762,12 @@ sp AS (
   SELECT e.d, b.dist + e.w
   FROM sp b JOIN sue e ON e.s = b.vid
   WHERE b.dist + e.w < 12
-)
-SELECT vid, CAST(MIN(dist) AS DOUBLE) AS dist FROM sp GROUP BY 1
+),
+spm AS (SELECT vid, CAST(MIN(dist) AS DOUBLE) AS dist FROM sp GROUP BY 1)
+SELECT vid, dist,
+       (SELECT dist FROM spm WHERE vid = (SELECT MAX(vid) FROM spm))
+           AS astar_dist
+FROM spm
 """
 )
 
