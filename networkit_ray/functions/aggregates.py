@@ -139,3 +139,71 @@ class ApproxDistinct(AggregateFnV2):
         elif est > (1 << 32) / 30.0:
             est = -(2.0**64) * np.log(1.0 - est / 2.0**64)
         return int(round(est))
+
+
+class BitwiseOrSketch(AggregateFnV2):
+    """Fixed-width bitwise-OR union — the sketch aggregate the reference's
+    ANF/HopPlot family is built on (Palmer/Gibbons/Faloutsos KDD'02:
+    Flajolet–Martin bitmask union along edges), as a NATIVE Ray aggregate
+    (SURVEY §2.3 `distance/` row: "sketch unions map beautifully to
+    AggregateFnV2").
+
+    ``col`` must be a fixed_size_binary column (any multiple of 8 bytes);
+    the accumulator is one such value per group and merge is a single
+    vectorized OR, so Ray pre-combines per block and the shuffle ships
+    O(groups x width) sketch bytes, never the neighbor sets themselves."""
+
+    def __init__(self, col: str, alias_name: str | None = None):
+        self._col = col
+        super().__init__(
+            alias_name or f"bitor({col})",
+            zero_factory=lambda: None,
+            on=None,
+            ignore_nulls=True,
+        )
+
+    @staticmethod
+    def _matrix(arr: pa.Array) -> np.ndarray:
+        """binary Array (fixed_size_binary, or [large_]binary of uniform
+        width, e.g. the aggregate's own bytes output) -> (n, width/8)
+        uint64 view — zero-copy modulo the arrow offset slice."""
+        if len(arr) == 0:
+            return np.zeros((0, 0), dtype=np.uint64)
+        if pa.types.is_fixed_size_binary(arr.type):
+            width = arr.type.byte_width
+            data = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+            data = data[arr.offset * width : (arr.offset + len(arr)) * width]
+        else:
+            odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+            off = np.frombuffer(arr.buffers()[1], dtype=odt)[
+                arr.offset : arr.offset + len(arr) + 1
+            ]
+            widths = np.diff(off)
+            width = int(widths[0])
+            if not (widths == width).all():
+                raise ValueError("BitwiseOrSketch needs uniform-width values")
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[
+                off[0] : off[-1]
+            ]
+        if width % 8:
+            raise ValueError("BitwiseOrSketch needs a multiple-of-8 width")
+        return data.view(np.uint64).reshape(len(arr), width // 8)
+
+    def aggregate_block(self, block: Block):
+        t = BlockAccessor.for_block(block).to_arrow()
+        if t.num_rows == 0:
+            return None
+        arr = t[self._col].combine_chunks()
+        return np.bitwise_or.reduce(self._matrix(arr), axis=0).tobytes()
+
+    def combine(self, current, new):
+        if current is None:
+            return new
+        if new is None:
+            return current
+        a = np.frombuffer(current, dtype=np.uint64)
+        b = np.frombuffer(new, dtype=np.uint64)
+        return np.bitwise_or(a, b).tobytes()
+
+    def finalize(self, accumulator):
+        return accumulator

@@ -846,3 +846,134 @@ def neighborhood_function(
                 break
     ds = ray.data.from_arrow(pa.table({"t": ts, "est_pairs": est}))
     return ds, eff
+
+
+def neighborhood_function_dataset(
+    edges_ds,
+    vertices_ds=None,
+    max_dist: int = 8,
+    registers: int = 64,
+    seed: int = 42,
+    num_partitions: int = 8,
+    undirected: bool = True,
+):
+    """ANF on the pure Dataset plane (no actor pool): the per-vertex
+    Flajolet–Martin bitmasks live as a fixed_size_binary column and each
+    round is edges⋈sketches -> union -> `groupby(vid).aggregate(
+    BitwiseOrSketch)` — the sketch-union-as-AggregateFnV2 pattern the
+    SURVEY §2.3 distance/ row names.  Ray pre-combines the OR per block,
+    so a round's shuffle ships O(vertices x registers x 8) sketch bytes
+    regardless of edge count or duplicate edges.
+
+    Seeding and estimator arithmetic replicate the BSP kernel
+    (`state/csr.py:anf_init`) exactly, so both paths estimate the same
+    neighborhood function (same hash draws; float sums differ only by
+    association order).  Prefer the BSP `neighborhood_function` when an
+    actor pool is available — it skips the per-round shuffles; this path
+    is for Dataset-only deployments and as the pattern's reference use.
+    -> (Dataset(t, est_pairs), effective_diameter)."""
+    import pandas as pd
+    import ray.data
+
+    from networkit_ray.functions.aggregates import BitwiseOrSketch
+
+    R = int(registers)
+    width = 8 * R
+
+    if undirected:
+        edges = symmetrize(canonicalize_undirected(edges_ds, weight="one"))
+    else:
+        edges = edges_ds
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    verts = (
+        vertices_ds.select_columns(["vid"])
+        if vertices_ds is not None
+        else vertices_from_edges(edges)
+    )
+
+    def init_sketches(t: pa.Table) -> pa.Table:
+        v = t["vid"].combine_chunks().to_numpy(zero_copy_only=False)
+        # same draw as csr.anf_init: bit = trailing zeros of
+        # hash(v*2654435761 + r*40503 + seed), capped at 62
+        rr = np.arange(R, dtype=np.int64)
+        keys = (v[:, None] * np.int64(2654435761) + (rr * 40503 + seed)).ravel()
+        h = pd.util.hash_array(keys)
+        lb = h & (np.uint64(0) - h)
+        tz = np.where(h == 0, 62.0, np.log2(np.maximum(lb, 1).astype(np.float64)))
+        sk = (np.uint64(1) << np.minimum(tz, 62.0).astype(np.uint64)).reshape(
+            len(v), R
+        )
+        return pa.table(
+            {
+                "vid": v,
+                "sk": pa.Array.from_buffers(
+                    pa.binary(width), len(v), [None, pa.py_buffer(sk.tobytes())]
+                ),
+            }
+        )
+
+    def batch_estimate(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"s": np.array([0.0])})
+        arr = t["sk"].combine_chunks()
+        m = BitwiseOrSketch._matrix(arr).copy()
+        inv = np.invert(m)
+        lb = inv & (np.uint64(0) - inv)
+        b = np.where(inv == 0, 64.0, np.log2(np.maximum(lb, 1).astype(np.float64)))
+        est = (2.0 ** b.mean(axis=1)) / 0.77351
+        return pa.table({"s": np.array([float(est.sum())])})
+
+    def total(ds) -> float:
+        return float(
+            ds.map_batches(batch_estimate, batch_format="pyarrow").sum("s") or 0.0
+        )
+
+    sketches = verts.map_batches(
+        init_sketches, batch_format="pyarrow"
+    ).materialize()
+    agg = BitwiseOrSketch("sk", alias_name="sk")
+    totals = []
+    for _ in range(max_dist):
+        msgs = edges.join(
+            sketches,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("vid",),
+        ).map_batches(  # explicit projection after a join (Ray 2.49 quirk)
+            lambda t: pa.table({"vid": t["dst"], "sk": t["sk"]}),
+            batch_format="pyarrow",
+        )
+        def refix(t: pa.Table) -> pa.Table:
+            # the aggregate's bytes output comes back variable-width;
+            # re-cast to fixed_size_binary so next round's union schemas
+            # line up and _matrix stays a strided view
+            m = BitwiseOrSketch._matrix(t["sk"].combine_chunks())
+            return pa.table(
+                {
+                    "vid": t["vid"],
+                    "sk": pa.Array.from_buffers(
+                        pa.binary(width),
+                        len(t),
+                        [None, pa.py_buffer(np.ascontiguousarray(m).tobytes())],
+                    ),
+                }
+            )
+
+        sketches = (
+            sketches.union(msgs)
+            .groupby("vid", num_partitions=num_partitions)
+            .aggregate(agg)
+            .map_batches(refix, batch_format="pyarrow")
+            .materialize()
+        )
+        totals.append(total(sketches))
+    ts = np.arange(1, max_dist + 1, dtype=np.int64)
+    est = np.asarray(totals, dtype=np.float64)
+    eff = int(ts[-1])
+    if est[-1] > 0:
+        for t_, e in zip(ts, est):
+            if e >= 0.9 * est[-1]:
+                eff = int(t_)
+                break
+    return ray.data.from_arrow(pa.table({"t": ts, "est_pairs": est})), eff
