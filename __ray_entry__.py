@@ -1665,26 +1665,55 @@ def q_betweenness_exact(sf_dir):
     the fixture graph, value-checked against the unrolled walk-count-CTE
     SQL oracle (sigma(s,v)*sigma(v,t)/sigma(s,t) pair sums) — carrier
     also joins exact per-vertex Eccentricity (distance/Eccentricity:
-    MAX(d) + COUNT(*) per source over the same distance table)."""
-    from networkit_ray.pipelines.traversal import betweenness_exact, eccentricity
+    MAX(d) + COUNT(*) per source over the same distance table) AND pins
+    KadabraBetweenness (centrality/KadabraBetweenness, adaptive pair-
+    sampling with the empirical-Bernstein stop): ``kadabra_ok`` asserts
+    the fixed-seed KADABRA estimate is within eps=0.05 of the exact
+    normalized value 2*betweenness/(n(n-1)) at EVERY vertex; the SQL
+    oracle pins it TRUE."""
+    from networkit_ray.pipelines.traversal import (
+        betweenness_exact,
+        eccentricity,
+        kadabra_betweenness,
+    )
 
     out = betweenness_exact(
         _fixture_edges(), num_partitions=P, undirected=True, batch=64
     )
     ecc = eccentricity(_fixture_edges(), num_partitions=P, batch=64)
-    joined = out.join(
-        ecc, join_type="inner", num_partitions=P, on=("vid",)
+    kad = kadabra_betweenness(
+        _fixture_edges(),
+        eps=0.05,
+        delta=0.1,
+        pairs_per_round=64,
+        max_rounds=200,
+        min_tau=512,
+        seed=7,
+        num_partitions=P,
     ).map_batches(
-        lambda t: pa.table(
+        lambda t: pa.table({"vid": t["vid"], "kadabra": t["betweenness"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    norm = 2.0 / (FIX_N * (FIX_N - 1))
+
+    def attach(t: pa.Table) -> pa.Table:
+        b = t["betweenness"].to_numpy(zero_copy_only=False)
+        k = t["kadabra"].to_numpy(zero_copy_only=False)
+        return pa.table(
             {
                 "vid": t["vid"],
                 "betweenness": t["betweenness"],
                 "ecc": t["ecc"],
                 "reached": t["reached"],
+                "kadabra_ok": np.abs(k - b * norm) <= 0.05,
             }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        )
+
+    joined = (
+        out.join(ecc, join_type="inner", num_partitions=P, on=("vid",))
+        .join(kad, join_type="inner", num_partitions=P, on=("vid",))
+        .map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
     )
     return _round6(joined, "betweenness")
 
@@ -3231,7 +3260,7 @@ GROUP BY 1
 ecc AS (SELECT s AS vid, CAST(MAX(d) AS BIGINT) AS ecc,
                CAST(COUNT(*) AS BIGINT) AS reached
         FROM fdist GROUP BY 1)
-SELECT b.vid, b.betweenness, e.ecc, e.reached
+SELECT b.vid, b.betweenness, e.ecc, e.reached, TRUE AS kadabra_ok
 FROM bet b JOIN ecc e USING (vid)
 """
 )

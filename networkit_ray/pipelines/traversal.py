@@ -288,6 +288,49 @@ def betweenness_exact(
     return out
 
 
+def kadabra_betweenness(
+    edges_ds,
+    eps: float = 0.05,
+    delta: float = 0.1,
+    pairs_per_round: int = 32,
+    max_rounds: int = 64,
+    min_tau: int = 256,
+    seed: int = 42,
+    vertices_ds=None,
+    num_partitions: int = 8,
+    undirected: bool = True,
+    stats=None,
+):
+    """KADABRA adaptive-sampling betweenness (reference centrality/
+    KadabraBetweenness; Borassi & Natale ESA'16, SURVEY.md §2.3): sample
+    uniform ordered vertex pairs in rounds, accumulate the shortest-path-
+    DAG crossing probability per vertex (Rao-Blackwellized one-path
+    estimator, see CSRPartition.kb_accumulate), and stop adaptively when
+    the empirical-Bernstein half-width over every vertex drops to <= eps —
+    easy graphs finish in few rounds, hard graphs keep sampling up to
+    ``max_rounds``.  Scores are on KADABRA's normalized scale: b_hat(v)
+    estimates sum_{s!=t} sigma_st(v)/sigma_st / (n(n-1)) (ordered pairs),
+    i.e. exact-unnormalized-undirected betweenness * 2 / (n(n-1)).
+    Deterministic for a fixed seed.  -> Dataset(vid, betweenness)."""
+    if vertices_ds is None:
+        vertices_ds = vertices_from_edges(edges_ds)
+    verts = vertices_ds.select_columns(["vid"]).materialize()
+    g = _graph(edges_ds, verts, num_partitions, undirected, dedupe=True)
+    try:
+        out, tau, bound = g.kadabra(
+            pairs_per_round=pairs_per_round,
+            eps=eps,
+            delta=delta,
+            max_rounds=max_rounds,
+            min_tau=min_tau,
+            seed=seed,
+            stats=stats,
+        )
+    finally:
+        g.shutdown()
+    return out
+
+
 def top_closeness(
     edges_ds,
     k: int = 10,

@@ -866,6 +866,83 @@ class CSRPartition:
             np.minimum(d, max_d), minlength=max_d + 1
         ).astype(np.int64)
 
+    # ---- KADABRA adaptive pair-sampled betweenness -------------------------
+    def kb_init(self) -> None:
+        """Pair-sample accumulators: running sum and sum-of-squares of the
+        per-pair estimator X_i(v) over owned vertices (for the empirical-
+        Bernstein stopping bound)."""
+        self.kb_sum = np.zeros(self.n_owned, dtype=np.float64)
+        self.kb_sumsq = np.zeros(self.n_owned, dtype=np.float64)
+
+    def ms_depth_sigma_at(self, vids, cols):
+        """Read (depth, sigma) of (vid_j, column_j) cells owned by this
+        partition from the current wave -> (hit positions j, depths,
+        sigmas).  Used by the KADABRA driver to fetch per-pair d_st /
+        sigma_st scalars (one O(B) pull per round, not per vertex)."""
+        vids = np.asarray(vids, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        if self.n_owned == 0 or len(vids) == 0:
+            e = np.empty(0, dtype=np.int64)
+            return e, e.copy(), np.empty(0, dtype=np.float64)
+        pos = np.minimum(np.searchsorted(self.owned, vids), self.n_owned - 1)
+        hit = self.owned[pos] == vids
+        j = np.flatnonzero(hit)
+        r, c = pos[hit], cols[hit]
+        sig = (
+            self.ms_sigma[r, c]
+            if self._ms_sigma_on
+            else np.zeros(len(j), dtype=np.float64)
+        )
+        return j, self.ms_depth[r, c].astype(np.int64), sig
+
+    def kb_accumulate(self, B: int, st_depth, st_sigma) -> None:
+        """Fold the current 2B-wide (s_0..s_{B-1} || t_0..t_{B-1}) sigma
+        wave into the pair accumulators.  Per owned vertex v and pair i:
+
+            X_i(v) = sigma_{s_i}(v) * sigma_{t_i}(v) / sigma_{s_i t_i}
+                     if d_s(v) + d_t(v) == d(s_i, t_i), else 0
+
+        — the probability that a uniformly random shortest s-t path passes
+        through v, i.e. the CONDITIONAL EXPECTATION of KADABRA's one-path
+        indicator given the pair (Rao-Blackwellized: identical mean,
+        strictly lower variance than sampling one path).  Endpoints are
+        excluded via d > 0; unreachable pairs (d_st <= 0) contribute 0 but
+        still count in tau, matching the uniform-ordered-pair estimator."""
+        if self.n_owned == 0 or self._ms_S != 2 * B:
+            return
+        st_depth = np.asarray(st_depth, dtype=np.int64)
+        st_sigma = np.maximum(np.asarray(st_sigma, dtype=np.float64), 1.0)
+        D1, D2 = self.ms_depth[:, :B], self.ms_depth[:, B:]
+        S1, S2 = self.ms_sigma[:, :B], self.ms_sigma[:, B:]
+        ok = (D1 > 0) & (D2 > 0) & (D1 + D2 == st_depth[None, :])
+        X = np.where(ok, S1 * S2 / st_sigma[None, :], 0.0)
+        self.kb_sum += X.sum(axis=1)
+        self.kb_sumsq += (X * X).sum(axis=1)
+
+    def kb_bound_part(self, tau: int, log3d: float) -> float:
+        """Max empirical-Bernstein half-width over owned vertices at sample
+        size tau: sqrt(2 * var_hat * log3d / tau) + 3 * log3d / tau
+        (Maurer-Pontil; X in [0,1] so the range constant is 1)."""
+        if self.n_owned == 0:
+            return 0.0
+        if tau < 2:
+            return float("inf")
+        var = np.maximum(self.kb_sumsq - self.kb_sum**2 / tau, 0.0) / (tau - 1)
+        return float(
+            (np.sqrt(2.0 * var * log3d / tau) + 3.0 * log3d / tau).max()
+        )
+
+    def kb_table(self, tau: int) -> pa.Table:
+        """Normalized betweenness estimates b_hat(v) = kb_sum(v)/tau (the
+        fraction of sampled ordered pairs whose shortest-path mass crosses
+        v — KADABRA's normalized-betweenness scale)."""
+        return pa.table(
+            {
+                "vid": self.owned,
+                "betweenness": self.kb_sum / max(int(tau), 1),
+            }
+        )
+
     def owned_vids(self) -> np.ndarray:
         return self.owned
 
@@ -2174,6 +2251,78 @@ class BSPGraph:
         reach = np.sum([p[1] for p in parts], axis=0)
         inv = np.sum([p[2] for p in parts], axis=0)
         return sumd, reach, inv
+
+    def kadabra(
+        self,
+        pairs_per_round: int = 32,
+        eps: float = 0.05,
+        delta: float = 0.1,
+        max_rounds: int = 64,
+        min_tau: int = 256,
+        seed: int = 42,
+        stats=None,
+    ):
+        """KADABRA-style ADaptive betweenness approximation (Borassi &
+        Natale, ESA'16; SURVEY.md §2.3 centrality/KadabraBetweenness):
+        rounds of B uniformly sampled ordered vertex pairs (s, t), one
+        2B-wide batched sigma-BFS wave per round (s-block || t-block share
+        every BSP exchange), partition-local accumulation of the per-pair
+        shortest-path-DAG estimator (see kb_accumulate), and an empirical-
+        Bernstein stopping rule: stop when the max half-width over all
+        vertices is <= eps (with per-round confidence delta), so easy
+        graphs stop after few rounds and hard ones keep sampling.  The
+        driver moves only O(B) scalars per round; per-vertex state stays
+        partitioned.  Returns (Dataset(vid, betweenness), tau, bound) with
+        betweenness on KADABRA's normalized scale (fraction of ordered
+        pairs routed through v)."""
+        import ray.data
+
+        vids = self.all_vids()
+        n = len(vids)
+        B = int(min(pairs_per_round, max(1, n // 2)))
+        rng = np.random.default_rng(seed)
+        log3d = float(np.log(3.0 / delta))
+        ray.get([a.kb_init.remote() for a in self.actors])
+        tau, bound = 0, float("inf")
+        cols = np.arange(B, dtype=np.int64)
+        t0 = time.perf_counter()
+        for _ in range(max_rounds):
+            s = vids[rng.integers(0, n, B)]
+            t = vids[rng.integers(0, n, B)]
+            for _retry in range(16):
+                coll = s == t
+                if not coll.any():
+                    break
+                t[coll] = vids[rng.integers(0, n, int(coll.sum()))]
+            self.ms_forward(np.concatenate([s, t]), with_sigma=True)
+            parts = ray.get(
+                [a.ms_depth_sigma_at.remote(t, cols) for a in self.actors]
+            )
+            d_st = np.full(B, -1, dtype=np.int64)
+            s_st = np.zeros(B, dtype=np.float64)
+            for j, dep, sig in parts:
+                d_st[j], s_st[j] = dep, sig
+            ray.get(
+                [a.kb_accumulate.remote(B, d_st, s_st) for a in self.actors]
+            )
+            tau += B
+            if tau >= min_tau:
+                bound = max(
+                    ray.get(
+                        [a.kb_bound_part.remote(tau, log3d) for a in self.actors]
+                    )
+                )
+                if bound <= eps:
+                    break
+        if stats is not None:
+            stats["tau"] = tau
+            stats["bound"] = bound
+            stats.setdefault("iter_wall_s", []).append(
+                time.perf_counter() - t0
+            )
+        refs = [a.kb_table.remote(int(tau)) for a in self.actors]
+        ds = ray.data.from_arrow_refs(refs).materialize()
+        return ds, tau, bound
 
     def group_closeness_greedy(self, k: int, batch: int = 64, stats=None):
         """Greedy group closeness (reference centrality/GroupCloseness):
