@@ -843,6 +843,50 @@ class CSRPartition:
         d[d < 0] = np.inf
         self.gc_dist = np.minimum(self.gc_dist, d)
 
+    def gc_argmax_part(self):
+        """(vid, dist) of the owned vertex FARTHEST from the current
+        dist-to-group state (maxmin pivot selection; ties -> smaller vid;
+        inf-distance vertices win, keeping maxmin exact on any graph)."""
+        if self.n_owned == 0:
+            return -1, -np.inf
+        i = int(np.argmax(self.gc_dist))
+        return int(self.owned[i]), float(self.gc_dist[i])
+
+    # ---- PivotMDS layout ----------------------------------------------------
+    def pmds_center_rows(self, fill: float):
+        """Row-center the squared pivot-distance matrix of the current wave
+        (unreached cells take the finite ``fill`` proxy) and return this
+        partition's (column sums of d^2, row count) so the driver can form
+        the column/grand means.  Caches d^2 - rowmean for pmds_gram."""
+        D = self.ms_depth.astype(np.float64)
+        D[D < 0] = fill
+        D2 = D * D
+        self._pmds_d2 = D2 - D2.mean(axis=1, keepdims=True)
+        return D2.sum(axis=0), self.n_owned
+
+    def pmds_gram(self, colmean2, grand2):
+        """Finish the double centering locally — C = -1/2 (d^2 - rowmean -
+        colmean + grand) — cache C, and return the partition's k x k Gram
+        contribution C^T C (the driver sum-reduces these and solves the
+        k x k eigenproblem; per-vertex rows never leave the partition)."""
+        colmean2 = np.asarray(colmean2, dtype=np.float64)
+        self._pmds_C = -0.5 * (
+            self._pmds_d2 - colmean2[None, :] + float(grand2)
+        )
+        del self._pmds_d2
+        return self._pmds_C.T @ self._pmds_C
+
+    def pmds_coords(self, V) -> pa.Table:
+        """Project owned rows onto the top eigenvectors: coords = C @ V
+        -> (vid, x, y[, ...]) table."""
+        V = np.asarray(V, dtype=np.float64)
+        xy = self._pmds_C @ V
+        cols = {"vid": self.owned}
+        names = ["x", "y", "z"] + [f"c{i}" for i in range(3, V.shape[1])]
+        for i in range(V.shape[1]):
+            cols[names[i]] = xy[:, i]
+        return pa.table(cols)
+
     def ms_depth_table(self, src_vids) -> pa.Table:
         """Finite (source, vid, depth) triplets of the current wave over
         owned rows — the distance-table emit (returned tables are copied
@@ -2323,6 +2367,77 @@ class BSPGraph:
         refs = [a.kb_table.remote(int(tau)) for a in self.actors]
         ds = ray.data.from_arrow_refs(refs).materialize()
         return ds, tau, bound
+
+    def pivot_mds(self, k: int = 16, dim: int = 2, stats=None):
+        """PivotMDS graph layout (Brandes & Pich, GD'06; reference
+        viz/PivotMDS): maxmin pivot selection (first pivot = smallest vid;
+        each next = vertex farthest from the chosen set, ties -> smaller
+        vid) via k single-source BFS waves folded into per-partition
+        dist-to-set state, then ONE k-wide batched BFS wave gives every
+        partition its local (n_owned, k) pivot-distance block.  Double
+        centering and the C^T C Gram are computed partition-locally (one
+        (k,) and one (k, k) reduce to the driver), the k x k eigenproblem
+        is solved driver-side, and coordinates C @ V are emitted straight
+        from the partitions — per-vertex rows never cross the driver.
+        Unreached cells take the finite proxy (max finite depth + 1)
+        (connected-graph contract, same as top_closeness).  Eigenvector
+        signs are fixed (largest-|component| positive) so layouts are
+        deterministic and partition-invariant.
+        Returns (Dataset(vid, x, y, ...), pivots, eigenvalues)."""
+        import ray.data
+
+        vids = self.all_vids()
+        k = int(min(k, len(vids)))
+        dim = int(min(dim, k))
+        ray.get([a.gc_init.remote() for a in self.actors])
+        pivots = [int(vids.min())]
+        maxd_all = 0
+        for _ in range(k - 1):
+            maxd_all = max(
+                maxd_all,
+                self.ms_forward(
+                    np.asarray([pivots[-1]], dtype=np.int64), with_sigma=False
+                ),
+            )
+            ray.get([a.gc_update.remote(0) for a in self.actors])
+            cand = ray.get([a.gc_argmax_part.remote() for a in self.actors])
+            # max dist, ties -> smaller vid; skip already-picked pivots
+            chosen = sorted(
+                (c for c in cand if c[0] >= 0 and c[0] not in pivots),
+                key=lambda c: (-c[1], c[0]),
+            )
+            if not chosen:
+                break
+            pivots.append(int(chosen[0][0]))
+        maxd_all = max(
+            maxd_all,
+            self.ms_forward(np.asarray(pivots, dtype=np.int64), with_sigma=False),
+        )
+        fill = float(maxd_all + 1)
+        parts = ray.get(
+            [a.pmds_center_rows.remote(fill) for a in self.actors]
+        )
+        colsum = np.sum([p[0] for p in parts], axis=0)
+        n = sum(p[1] for p in parts)
+        colmean2 = colsum / max(n, 1)
+        grand2 = float(colsum.sum() / max(n * len(pivots), 1))
+        gram = np.sum(
+            ray.get([a.pmds_gram.remote(colmean2, grand2) for a in self.actors]),
+            axis=0,
+        )
+        evals, evecs = np.linalg.eigh(gram)
+        order = np.argsort(evals)[::-1][:dim]
+        V = evecs[:, order]
+        for j in range(V.shape[1]):  # deterministic sign
+            i = int(np.argmax(np.abs(V[:, j])))
+            if V[i, j] < 0:
+                V[:, j] = -V[:, j]
+        refs = [a.pmds_coords.remote(V) for a in self.actors]
+        ds = ray.data.from_arrow_refs(refs).materialize()
+        if stats is not None:
+            stats["pivots"] = pivots
+            stats["eigenvalues"] = np.sqrt(np.maximum(evals[order], 0.0))
+        return ds, pivots, evals[order]
 
     def group_closeness_greedy(self, k: int, batch: int = 64, stats=None):
         """Greedy group closeness (reference centrality/GroupCloseness):
