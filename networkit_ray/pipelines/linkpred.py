@@ -60,6 +60,30 @@ def random_link_sampler(
     return part(True), part(False)
 
 
+def _nonempty_block_refs(materialized_ds):
+    """Block refs of a materialized Dataset with EMPTY BLOCKS DROPPED,
+    judged from block metadata only — no data touches the driver.
+    Hash-aggregate partitions that received no rows finalize as
+    schema-less empty blocks (zero columns); pyarrow's Table.join inside
+    a downstream Dataset.join rejects a key FieldRef against them, and
+    map_batches never invokes the UDF on them, so the only safe seam is
+    to rebuild the dataset from the surviving refs.
+    ``iter_internal_ref_bundles`` is a private Ray Data API, verified
+    against Ray 2.49.2 (the version this engine pins); the AttributeError
+    fallback covers the pre-2.10 public accessor and any future removal
+    fails loudly here rather than corrupting results."""
+    try:
+        bundles = materialized_ds.iter_internal_ref_bundles()
+        return [
+            ref
+            for b in bundles
+            for ref, meta in b.blocks
+            if (meta.num_rows or 0) > 0
+        ]
+    except AttributeError:  # older Ray: no per-block metadata filter
+        return materialized_ds.get_internal_block_refs()
+
+
 def link_prediction_auc(
     edges_ds,
     holdout_mod: int = 5,
@@ -197,27 +221,94 @@ def link_prediction_auc(
         .materialize()
     )
 
-    # common-neighbor score on the TRAIN graph; candidates without a
-    # common neighbor score 0
-    cn = (
-        link_prediction_scores(train, num_partitions=num_partitions)
-        .select_columns(["u", "v", "cn"])
-        .materialize()
-    )
-    scored = cands.join(
-        cn, join_type="left_outer", num_partitions=num_partitions, on=("u", "v")
-    ).map_batches(
-        lambda t: pa.table(
-            {
-                "u": t["u"],
-                "v": t["v"],
-                "lab": t["lab"],
-                "score": pc.cast(pc.fill_null(t["cn"], 0), pa.float64()),
-            }
-        ),
+    # common-neighbor score on the TRAIN graph, CANDIDATE-BOUNDED: the
+    # generic link_prediction_scores wedge join costs O(Σ deg(z)²) over
+    # ALL cn>=1 pairs, but the AUC needs cn for the ~(n_pos + n·s)
+    # candidates only.  Explode each candidate (u, v) by N(u) (one hash
+    # join, Σ_cand deg(u) rows), keep rows where (v, w) is also a train
+    # edge (second hash join = the N(v) probe), pre-combine per batch and
+    # count — identical cn = |N(u) ∩ N(v)| without materializing any
+    # non-candidate wedge.  Candidates with no common neighbor score 0
+    # via the final left join.
+    sym_t = symmetrize(train).materialize()
+    adj_u = sym_t.map_batches(
+        lambda t: pa.table({"u": t["src"], "w": t["dst"]}),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    adj_vw = sym_t.map_batches(
+        lambda t: pa.table({"v": t["src"], "w": t["dst"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def count_pre(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["u", "v"])
+            .group_by(["u", "v"])
+            .aggregate([("v", "count")])
+        )
+        return g.rename_columns(["u", "v", "one"])
+
+    cn = (
+        cands.map_batches(
+            lambda t: pa.table({"u": t["u"], "v": t["v"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .join(adj_u, join_type="inner", num_partitions=num_partitions, on=("u",))
+        .map_batches(
+            lambda t: pa.table({"u": t["u"], "v": t["v"], "w": t["w"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .join(
+            adj_vw,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("v", "w"),
+        )
+        .map_batches(count_pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["u", "v"], num_partitions=num_partitions)
+        .aggregate(Sum("one", alias_name="cn"))
+        .materialize()
+    )
+    live = _nonempty_block_refs(cn)
+    if not live:
+        # bipartite-ish splits can leave NO candidate with a common
+        # neighbor: every score is 0, no join needed
+        scored = cands.map_batches(
+            lambda t: pa.table(
+                {
+                    "u": t["u"],
+                    "v": t["v"],
+                    "lab": t["lab"],
+                    "score": pa.array(
+                        np.zeros(t.num_rows, np.float64), pa.float64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    else:
+        scored = cands.join(
+            ray.data.from_arrow_refs(live),
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=("u", "v"),
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "u": t["u"],
+                    "v": t["v"],
+                    "lab": t["lab"],
+                    "score": pc.cast(pc.fill_null(t["cn"], 0), pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
 
     # ONE sort, then a streaming scan: desc by (score, u, v) — tie groups
     # are contiguous, so both tie-averaged ROC ranks and deterministic PR
