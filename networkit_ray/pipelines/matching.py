@@ -379,3 +379,125 @@ def b_matching(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def path_growing_matching(
+    edges_ds,
+    variant: str = "dp",
+    edge_limit: int = 5_000_000,
+):
+    """PathGrowingMatcher (reference matching/PathGrowingMatcher; Drake &
+    Hougardy 2003, "A simple approximation algorithm for the weighted
+    matching problem") — documented DRIVER-SIDE compat path, like
+    HavelHakimi/CliqueDetect: the algorithm is a single sequential chain
+    (grow a path from x by the heaviest surviving incident edge, delete x,
+    hop to the other endpoint), so it has no faithful dataflow expression;
+    ``local_max_matching`` / ``b_matching`` are this engine's distributed
+    1/2-approx scale path.  Raises past ``edge_limit`` canonical edges.
+
+    ``variant="alternate"`` is the published base algorithm: edges
+    alternate into M1/M2 as they are chosen and the heavier set wins —
+    max(w(M1), w(M2)) >= (w(M1)+w(M2))/2 >= w(M*)/2.  ``variant="dp"``
+    (default) instead solves each grown path exactly by dynamic
+    programming; paths are vertex-disjoint, so the union is a matching,
+    and per path the DP optimum >= either alternating subset, so the 1/2
+    guarantee is preserved and the weight dominates the base variant.
+
+    Deterministic: start vertices in ascending vid order, heaviest-edge
+    ties broken by lowest neighbor vid — input partitioning never matters
+    (the canonical edge table is collected before the chase).
+
+    edges(src,dst,w) -> pa.Table(src, dst, w), src < dst canonical.
+    """
+    if variant not in ("dp", "alternate"):
+        raise ValueError(f"unknown variant {variant!r}")
+    canon = canonicalize_undirected(edges_ds, weight="max").to_pandas()
+    m = len(canon)
+    if m > edge_limit:
+        raise ValueError(
+            f"path_growing_matching is a driver-side compat algorithm "
+            f"({m} canonical edges > edge_limit={edge_limit}); use "
+            f"local_max_matching / b_matching at scale"
+        )
+    empty = pa.table(
+        {
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64()),
+            "w": pa.array([], pa.float64()),
+        }
+    )
+    if m == 0:
+        return empty
+    lo = canon["src"].to_numpy().astype(np.int64)
+    hi = canon["dst"].to_numpy().astype(np.int64)
+    w = canon["w"].to_numpy().astype(np.float64)
+    vids, inv = np.unique(np.concatenate([lo, hi]), return_inverse=True)
+    n = len(vids)
+    u, v = inv[:m], inv[m:]
+    # symmetric CSR; each vertex's neighbors sorted by (w desc, nbr vid asc)
+    s = np.concatenate([u, v])
+    d = np.concatenate([v, u])
+    ww = np.concatenate([w, w])
+    order = np.lexsort((vids[d], -ww, s))
+    s, d, ww = s[order], d[order], ww[order]
+    indptr = np.searchsorted(s, np.arange(n + 1))
+    alive = np.ones(n, dtype=bool)
+    ptr = indptr[:-1].copy()
+    m1: list = []
+    m2: list = []
+    out: list = []
+    side = 0
+    for start in range(n):
+        if not alive[start]:
+            continue
+        x = int(start)
+        path: list = []
+        while True:
+            p = ptr[x]
+            end = indptr[x + 1]
+            while p < end and not alive[d[p]]:
+                p += 1
+            ptr[x] = p
+            if p == end:
+                break
+            y = int(d[p])
+            e = (x, y, float(ww[p]))
+            path.append(e)
+            (m1 if side == 0 else m2).append(e)
+            side = 1 - side
+            alive[x] = False
+            x = y
+        if not path:
+            continue
+        if variant == "dp":
+            # exact max-weight matching on this path's edge chain by DP
+            k = len(path)
+            dp = np.zeros(k)
+            choice = np.zeros(k, dtype=bool)
+            for i in range(k):
+                take = path[i][2] + (dp[i - 2] if i >= 2 else 0.0)
+                skip = dp[i - 1] if i >= 1 else 0.0
+                dp[i] = take if take >= skip else skip
+                choice[i] = take >= skip
+            i = k - 1
+            while i >= 0:
+                if choice[i]:
+                    out.append(path[i])
+                    i -= 2
+                else:
+                    i -= 1
+    if variant == "alternate":
+        out = m1 if sum(e[2] for e in m1) >= sum(e[2] for e in m2) else m2
+    if not out:
+        return empty
+    a = np.array([e[0] for e in out], dtype=np.int64)
+    b = np.array([e[1] for e in out], dtype=np.int64)
+    ew = np.array([e[2] for e in out], dtype=np.float64)
+    ga, gb = vids[a], vids[b]
+    return pa.table(
+        {
+            "src": np.minimum(ga, gb),
+            "dst": np.maximum(ga, gb),
+            "w": ew,
+        }
+    )

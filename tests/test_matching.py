@@ -168,3 +168,103 @@ def test_b_matching_b1_equals_local_max(ray_session):
     c = local_max_matching(weighted_ds(G, wts), num_partitions=3).to_pandas()
     key = lambda df: sorted(zip(df["src"], df["dst"]))  # noqa: E731
     assert key(a) == key(c)
+
+
+# --- PathGrowingMatcher (driver-side compat; Drake & Hougardy 2003) ---
+
+from networkit_ray.pipelines.matching import path_growing_matching
+
+
+def _pgm_brute(G, wts, variant):
+    """Sequential pure-Python replication of the published algorithm with
+    the engine's deterministic tie-breaks (ascending-vid starts, heaviest
+    edge then lowest neighbor vid)."""
+    adj = {}
+    for i, (u, v) in enumerate(G.edges()):
+        lo, hi = min(int(u), int(v)), max(int(u), int(v))
+        if lo == hi:
+            continue
+        w = float(wts[i])
+        prev = adj.setdefault(lo, {}).get(hi)
+        if prev is None or w > prev:
+            adj[lo][hi] = w
+            adj.setdefault(hi, {})[lo] = w
+    m1, m2, out, side = [], [], [], 0
+    for start in sorted(adj):
+        if start not in adj:
+            continue
+        x, path = start, []
+        while x in adj and adj[x]:
+            y, w = min(adj[x].items(), key=lambda kv: (-kv[1], kv[0]))
+            path.append((x, y, w))
+            (m1 if side == 0 else m2).append((x, y, w))
+            side = 1 - side
+            for z in list(adj[x]):
+                del adj[z][x]
+                if not adj[z]:
+                    del adj[z]
+            del adj[x]
+            x = y
+        if not path:
+            continue
+        if variant == "dp":
+            k = len(path)
+            dp, choice = [0.0] * k, [False] * k
+            for i in range(k):
+                take = path[i][2] + (dp[i - 2] if i >= 2 else 0.0)
+                skip = dp[i - 1] if i >= 1 else 0.0
+                dp[i] = max(take, skip)
+                choice[i] = take >= skip
+            i = k - 1
+            while i >= 0:
+                if choice[i]:
+                    out.append(path[i])
+                    i -= 2
+                else:
+                    i -= 1
+    if variant == "alternate":
+        out = m1 if sum(e[2] for e in m1) >= sum(e[2] for e in m2) else m2
+    return {(min(a, b), max(a, b)) for a, b, _ in out}
+
+
+@pytest.mark.parametrize("name", ["karate", "path100", "er200", "multicomp"])
+@pytest.mark.parametrize("variant", ["dp", "alternate"])
+def test_pgm_brute_replication_valid_halfapprox(ray_session, name, variant):
+    G = fixture_graph(name)
+    rng = np.random.default_rng(11)
+    wts = rng.random(G.number_of_edges()) + 0.5
+    m = path_growing_matching(weighted_ds(G, wts), variant=variant).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(m["src"], m["dst"])}
+    assert got == _pgm_brute(G, wts, variant)  # exact replication
+    vs = np.concatenate([m["src"].to_numpy(), m["dst"].to_numpy()])
+    assert len(vs) == len(set(vs))  # a valid matching
+    Gw = nx.Graph()
+    for i, (u, v) in enumerate(G.edges()):
+        Gw.add_edge(u, v, weight=float(wts[i]))
+    opt = sum(Gw[u][v]["weight"] for u, v in nx.max_weight_matching(Gw))
+    assert m["w"].sum() >= 0.5 * opt - 1e-9  # the Drake-Hougardy bound
+
+
+def test_pgm_dp_dominates_alternate_and_partition_invariant(ray_session):
+    G = fixture_graph("ba300")
+    rng = np.random.default_rng(13)
+    wts = rng.random(G.number_of_edges()) + 0.5
+    dp = path_growing_matching(weighted_ds(G, wts), variant="dp").to_pandas()
+    alt = path_growing_matching(
+        weighted_ds(G, wts), variant="alternate"
+    ).to_pandas()
+    assert dp["w"].sum() >= alt["w"].sum() - 1e-12
+    rep = path_growing_matching(
+        weighted_ds(G, wts).repartition(7), variant="dp"
+    ).to_pandas()
+    key = lambda df: sorted(zip(df["src"], df["dst"]))  # noqa: E731
+    assert key(dp) == key(rep)
+
+
+def test_pgm_edge_limit_and_bad_variant(ray_session):
+    G = fixture_graph("karate")
+    ds = weighted_ds(G, np.ones(G.number_of_edges()))
+    with pytest.raises(ValueError, match="edge_limit"):
+        path_growing_matching(ds, edge_limit=3)
+    with pytest.raises(ValueError, match="variant"):
+        path_growing_matching(ds, variant="nope")
