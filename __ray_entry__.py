@@ -848,7 +848,45 @@ def q_matching_check(sf_dir):
             or 0
         )
 
+    # --- PathGrowingMatcher invariants (r5): a valid matching (no vertex
+    # reuse, only real graph edges) and the per-path-DP variant weighing
+    # at least the base alternating variant — all SQL-pinned to 0 ---
+    from networkit_ray.pipelines.matching import path_growing_matching
+
+    pgm = path_growing_matching(_edges(sf_dir))
+    pgm_alt = path_growing_matching(_edges(sf_dir), variant="alternate")
+    pends = np.concatenate(
+        [
+            pgm["src"].combine_chunks().to_numpy(zero_copy_only=False),
+            pgm["dst"].combine_chunks().to_numpy(zero_copy_only=False),
+        ]
+    )
+    pgm_vertex_reuse = int(len(pends) - len(np.unique(pends)))
+    pgm_dp_lt_alt = int(
+        float(pc.sum(pgm["w"]).as_py() or 0.0)
+        < float(pc.sum(pgm_alt["w"]).as_py() or 0.0) - 1e-9
+    )
+
     import ray.data
+
+    pflag = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pgm["src"],
+                "dst": pgm["dst"],
+                "in_m": pa.array(np.ones(pgm.num_rows, np.int8)),
+            }
+        )
+    ).materialize()
+    pjoined = canon.join(
+        pflag, join_type="left_outer", num_partitions=P, on=("src", "dst")
+    )
+    pgm_nonedges = int(pgm.num_rows) - int(
+        pjoined.map_batches(
+            _valid_sum, batch_format="pyarrow", zero_copy_batch=True
+        ).sum("n")
+        or 0
+    )
 
     return ray.data.from_arrow(
         pa.table(
@@ -859,6 +897,9 @@ def q_matching_check(sf_dir):
                 "b2_nonedges": pa.array([b2_nonedges], pa.int64()),
                 "b2_overcap": pa.array([b2_overcap], pa.int64()),
                 "b2_not_maximal": pa.array([b2_not_maximal], pa.int64()),
+                "pgm_nonedges": pa.array([pgm_nonedges], pa.int64()),
+                "pgm_vertex_reuse": pa.array([pgm_vertex_reuse], pa.int64()),
+                "pgm_dp_lt_alt": pa.array([pgm_dp_lt_alt], pa.int64()),
             }
         )
     )
@@ -3623,7 +3664,10 @@ def oracle_sql() -> dict[str, str]:
             " CAST(0 AS BIGINT) AS vertex_reuse,"
             " CAST(0 AS BIGINT) AS b2_nonedges,"
             " CAST(0 AS BIGINT) AS b2_overcap,"
-            " CAST(0 AS BIGINT) AS b2_not_maximal"
+            " CAST(0 AS BIGINT) AS b2_not_maximal,"
+            " CAST(0 AS BIGINT) AS pgm_nonedges,"
+            " CAST(0 AS BIGINT) AS pgm_vertex_reuse,"
+            " CAST(0 AS BIGINT) AS pgm_dp_lt_alt"
         ),
         "cliques_bipartite": _CLIQUES_BIPARTITE_SQL,
         "closeness_sampled": _CLOSENESS_SQL,
