@@ -458,8 +458,15 @@ def _move_round(
         comm = t["comm"].combine_chunks().to_numpy(zero_copy_only=False)
         is_own = ncomm == comm
         eff_tot = totv - np.where(is_own, wd, 0.0)
-        s = wvc - wd * eff_tot / (2.0 * W)
-        s = s + np.where(is_own, min_gain, 0.0)
+        # Scaled by the positive constant 2W (argmax-invariant): for
+        # integer edge weights every term is an exactly-representable
+        # float64 integer, so scores are EXACT regardless of the order
+        # distributed Sum() reduced wvc/tot — near-ties cannot flip with
+        # block arrangement, and the min-label tie-break makes the round
+        # bit-deterministic across partitionings (the partition-invariance
+        # contract the leiden/plm pytest pins).
+        s = 2.0 * W * wvc - wd * eff_tot
+        s = s + np.where(is_own, 2.0 * W * min_gain, 0.0)
         return pa.table({"vid": t["vid"], "label": t["ncomm"], "w": s})
 
     scored = j2.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
