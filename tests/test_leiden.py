@@ -44,9 +44,12 @@ def test_leiden_connected_and_quality(ray_session, name):
 
 
 def test_leiden_deterministic_across_partitioning(ray_session):
+    # determinism is independent of round counts — reduced sub-round
+    # budget (colors=2, 2 move/refine rounds) keeps the property pinned
+    # at a third of the wall of the full-budget quality tests above
     G = fixture_graph("karate")
     ds = edges_dataset(G)
-    kw = dict(max_levels=2, move_rounds=3)
+    kw = dict(max_levels=2, move_rounds=2, refine_rounds=2, colors=2)
     a = leiden(ds, num_partitions=2, **kw).to_pandas().sort_values("vid")
     b = leiden(ds, num_partitions=4, **kw).to_pandas().sort_values("vid")
     assert (a["label"].to_numpy() == b["label"].to_numpy()).all()
